@@ -1,0 +1,124 @@
+"""Screen-space projection of 3D Gaussians (EWA splatting), pure jnp.
+
+This replaces the preprocessing stage of the reference's CUDA rasterizer
+(the external `latent-gaussian-rasterization` fork of Inria
+diff-gaussian-rasterization, characterized at
+src/model/decoder/cuda_splatting.py:124-158): per-Gaussian perspective
+projection, EWA 2D covariance, low-pass filter, near/frustum culling, and
+3-sigma screen radius. It is dense, vectorized XLA (fully differentiable
+via autodiff) — the sequential compositing is the only part that needs a
+hand-written kernel.
+
+Semantics preserved from the standard 3DGS pipeline:
+  * near-plane cull at z <= 0.2 (scene is pre-normalized by 1/near so this
+    equals 0.2 * near; see api.render's scale_invariant handling, parity
+    with cuda_splatting.py:75-81);
+  * frustum guard band 1.3 * tan(fov/2) when evaluating the Jacobian;
+  * 2D covariance low-pass: += 0.3 * I;
+  * radius = ceil(3 * sqrt(max eigenvalue)).
+
+Improvements over the reference path: arbitrary principal points are
+supported exactly (the CUDA path builds its projection matrix from FOV only,
+src/model/decoder/cuda_splatting.py:19-46, implicitly assuming a centered
+principal point).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ...geometry.projection import invert_se3
+from .types import ScreenGaussians
+
+# Alpha below this contributes nothing (CUDA uses 1/255).
+ALPHA_THRESHOLD = 1.0 / 255.0
+# Opacity saturation inside the compositor (CUDA uses 0.99).
+ALPHA_CLAMP = 0.99
+# Near-plane cull in (scale-normalized) camera space.
+NEAR_CULL_Z = 0.2
+# Low-pass filter added to the 2D covariance diagonal.
+COV2D_BLUR = 0.3
+
+
+def project_gaussians_to_screen(
+    means: jnp.ndarray,         # (G, 3) world
+    covariances: jnp.ndarray,   # (G, 3, 3) world
+    opacities: jnp.ndarray,     # (G,)
+    channels: jnp.ndarray,      # (G, C) payload to composite
+    extrinsics: jnp.ndarray,    # (4, 4) cam-to-world
+    intrinsics: jnp.ndarray,    # (3, 3) normalized
+    image_shape: tuple[int, int],
+) -> ScreenGaussians:
+    """Project one view's Gaussians to screen space. vmap over views/batch."""
+    h, w = image_shape
+    w2c = invert_se3(extrinsics)
+    rot_w2c = w2c[:3, :3]
+
+    p_cam = means @ rot_w2c.T + w2c[:3, 3]
+    z = p_cam[..., 2]
+
+    # Pixel-space focal lengths / principal point. Normalized intrinsics have
+    # pixel centers at (i + 0.5) / size, so pixel-index coordinates are
+    # u * size - 0.5.
+    fx = intrinsics[0, 0] * w
+    fy = intrinsics[1, 1] * h
+    cx = intrinsics[0, 2] * w
+    cy = intrinsics[1, 2] * h
+
+    safe_z = jnp.where(z > 1e-6, z, 1e-6)
+    mean2d = jnp.stack(
+        [
+            fx * p_cam[..., 0] / safe_z + cx - 0.5,
+            fy * p_cam[..., 1] / safe_z + cy - 0.5,
+        ],
+        axis=-1,
+    )
+
+    # EWA: J @ W @ Sigma @ W^T @ J^T with the perspective Jacobian evaluated
+    # at clamped view coordinates (1.3x frustum guard band).
+    tan_fov_x = 0.5 * w / fx
+    tan_fov_y = 0.5 * h / fy
+    lim_x = 1.3 * tan_fov_x
+    lim_y = 1.3 * tan_fov_y
+    tx = jnp.clip(p_cam[..., 0] / safe_z, -lim_x, lim_x) * safe_z
+    ty = jnp.clip(p_cam[..., 1] / safe_z, -lim_y, lim_y) * safe_z
+
+    inv_z = 1.0 / safe_z
+    inv_z2 = inv_z * inv_z
+    zeros = jnp.zeros_like(inv_z)
+    j_row0 = jnp.stack([fx * inv_z, zeros, -fx * tx * inv_z2], axis=-1)
+    j_row1 = jnp.stack([zeros, fy * inv_z, -fy * ty * inv_z2], axis=-1)
+    jac = jnp.stack([j_row0, j_row1], axis=-2)  # (G, 2, 3)
+
+    t_mat = jac @ rot_w2c  # (G, 2, 3)
+    cov2d = jnp.einsum("gij,gjk,glk->gil", t_mat, covariances, t_mat)
+    c00 = cov2d[..., 0, 0] + COV2D_BLUR
+    c01 = cov2d[..., 0, 1]
+    c11 = cov2d[..., 1, 1] + COV2D_BLUR
+
+    det = c00 * c11 - c01 * c01
+    det_ok = det > 0.0
+    safe_det = jnp.where(det_ok, det, 1.0)
+    conic = jnp.stack([c11 / safe_det, -c01 / safe_det, c00 / safe_det], axis=-1)
+
+    mid = 0.5 * (c00 + c11)
+    lambda1 = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
+    radius = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lambda1, 0.0)))
+
+    # Culling: behind near plane, degenerate covariance, or fully transparent.
+    valid = (z > NEAR_CULL_Z) & det_ok & (opacities * 1.0 > ALPHA_THRESHOLD)
+    # Off-screen cull (whole radius-rect outside the image).
+    valid &= (mean2d[..., 0] + radius >= -0.5) & (mean2d[..., 0] - radius <= w - 0.5)
+    valid &= (mean2d[..., 1] + radius >= -0.5) & (mean2d[..., 1] - radius <= h - 0.5)
+
+    radius = jnp.where(valid, radius, 0.0)
+    opacity = jnp.where(valid, opacities, 0.0)
+
+    return ScreenGaussians(
+        mean2d=mean2d,
+        conic=conic,
+        depth=z,
+        radius=radius,
+        opacity=opacity,
+        channels=channels,
+    )

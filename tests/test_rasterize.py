@@ -1,0 +1,257 @@
+"""Rasterizer tests: dense oracle sanity, tiled-vs-dense parity, gradients
+(SURVEY.md §4 item (b): forward+backward numerics vs a dense reference and
+finite differences)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from latentsplat_tpu.ops.gaussians import build_covariance
+from latentsplat_tpu.ops.rasterize import (
+    RenderOutput,
+    composite_dense,
+    project_gaussians_to_screen,
+    render,
+)
+from latentsplat_tpu.ops.rasterize.tiled import composite_tiled
+
+H = W = 32
+INTRINSICS = jnp.asarray(
+    [[1.0, 0.0, 0.5], [0.0, 1.0, 0.5], [0.0, 0.0, 1.0]], jnp.float32
+)
+EXTRINSICS = jnp.eye(4, dtype=jnp.float32)  # camera at origin looking +z
+
+
+def make_gaussians(key, n, spread=0.6, z_range=(2.0, 6.0), n_channels=4):
+    ks = jax.random.split(key, 6)
+    xy = jax.random.uniform(ks[0], (n, 2), minval=-spread, maxval=spread)
+    z = jax.random.uniform(ks[1], (n,), minval=z_range[0], maxval=z_range[1])
+    means = jnp.concatenate([xy * z[:, None], z[:, None]], axis=-1)
+    scales = jax.random.uniform(ks[2], (n, 3), minval=0.05, maxval=0.25)
+    quats = jax.random.normal(ks[3], (n, 4))
+    quats = quats / jnp.linalg.norm(quats, axis=-1, keepdims=True)
+    covs = build_covariance(scales, quats)
+    ops = jax.random.uniform(ks[4], (n,), minval=0.3, maxval=0.95)
+    channels = jax.random.uniform(ks[5], (n, n_channels))
+    return means, covs, ops, channels
+
+
+def project(means, covs, ops, channels):
+    return project_gaussians_to_screen(
+        means, covs, ops, channels, EXTRINSICS, INTRINSICS, (H, W)
+    )
+
+
+class TestProjection:
+    def test_center_gaussian_projects_to_image_center(self):
+        means = jnp.asarray([[0.0, 0.0, 4.0]])
+        covs = jnp.eye(3)[None] * 0.01
+        sg = project(means, covs, jnp.asarray([0.8]), jnp.ones((1, 1)))
+        # cx = 0.5 normalized -> pixel index (W-1)/2 + eps = 15.5
+        np.testing.assert_allclose(np.asarray(sg.mean2d[0]), [15.5, 15.5], atol=1e-4)
+        assert float(sg.depth[0]) == pytest.approx(4.0)
+        assert float(sg.radius[0]) > 0
+
+    def test_behind_camera_culled(self):
+        means = jnp.asarray([[0.0, 0.0, -1.0]])
+        covs = jnp.eye(3)[None] * 0.01
+        sg = project(means, covs, jnp.asarray([0.8]), jnp.ones((1, 1)))
+        assert float(sg.radius[0]) == 0.0
+        assert float(sg.opacity[0]) == 0.0
+
+    def test_isotropic_cov2d(self):
+        # Isotropic world covariance on-axis -> isotropic conic (b == 0).
+        means = jnp.asarray([[0.0, 0.0, 4.0]])
+        covs = jnp.eye(3)[None] * 0.04
+        sg = project(means, covs, jnp.asarray([0.8]), jnp.ones((1, 1)))
+        conic = np.asarray(sg.conic[0])
+        assert conic[1] == pytest.approx(0.0, abs=1e-5)
+        assert conic[0] == pytest.approx(conic[2], rel=1e-4)
+
+
+class TestDense:
+    def test_single_gaussian_peak_at_center(self):
+        means = jnp.asarray([[0.0, 0.0, 4.0]])
+        covs = jnp.eye(3)[None] * 0.04
+        sg = project(means, covs, jnp.asarray([0.9]), jnp.ones((1, 1)))
+        img, mask, depth = composite_dense(sg, (H, W))
+        img = np.asarray(img[0])
+        peak = np.unravel_index(img.argmax(), img.shape)
+        assert peak in [(15, 15), (15, 16), (16, 15), (16, 16)]
+        assert 0.0 <= mask.max() <= 1.0
+        # expected depth at peak ~ alpha * z
+        m = np.asarray(mask)
+        d = np.asarray(depth)
+        assert d[peak] == pytest.approx(4.0 * m[peak], rel=1e-3)
+
+    def test_opacity_saturation(self):
+        # Many overlapping opaque gaussians -> mask saturates towards 1.
+        means = jnp.tile(jnp.asarray([[0.0, 0.0, 4.0]]), (20, 1))
+        means = means + jnp.linspace(0, 0.1, 20)[:, None] * jnp.asarray([0, 0, 1.0])
+        covs = jnp.tile(jnp.eye(3)[None] * 0.2, (20, 1, 1))
+        sg = project(means, covs, jnp.full((20,), 0.9), jnp.ones((20, 1)))
+        _, mask, _ = composite_dense(sg, (H, W))
+        assert float(mask[15, 15]) > 0.999
+
+    def test_front_to_back_order(self):
+        # A red gaussian in front of a blue one: front dominates.
+        means = jnp.asarray([[0.0, 0.0, 3.0], [0.0, 0.0, 6.0]])
+        covs = jnp.tile(jnp.eye(3)[None] * 0.1, (2, 1, 1))
+        channels = jnp.asarray([[1.0, 0.0], [0.0, 1.0]])
+        sg = project(means, covs, jnp.asarray([0.9, 0.9]), channels)
+        img, _, _ = composite_dense(sg, (H, W))
+        assert float(img[0, 15, 15]) > float(img[1, 15, 15])
+        # ... and order of inputs must not matter (depth sort).
+        sg2 = project(means[::-1], covs, jnp.asarray([0.9, 0.9]), channels[::-1])
+        img2, _, _ = composite_dense(sg2, (H, W))
+        np.testing.assert_allclose(np.asarray(img), np.asarray(img2), atol=1e-5)
+
+    def test_background(self):
+        sg = project(
+            jnp.asarray([[0.0, 0.0, 4.0]]),
+            jnp.eye(3)[None] * 1e-6,
+            jnp.asarray([0.01]),
+            jnp.ones((1, 2)),
+        )
+        bg = jnp.asarray([0.25, 0.75])
+        img, mask, _ = composite_dense(sg, (H, W), bg)
+        # Far corner: no contribution -> pure background.
+        np.testing.assert_allclose(np.asarray(img[:, 0, 0]), [0.25, 0.75], atol=1e-5)
+
+
+class TestTiledVsDense:
+    @pytest.mark.parametrize("n", [1, 7, 64, 300])
+    def test_forward_match(self, n):
+        means, covs, ops, channels = make_gaussians(jax.random.PRNGKey(n), n)
+        sg = project(means, covs, ops, channels)
+        bg = jnp.asarray([0.1, 0.2, 0.3, 0.4])
+        d_img, d_mask, d_depth = composite_dense(sg, (H, W), bg, tile_size=16)
+        t_img, t_mask, t_depth = composite_tiled(sg, (H, W), bg)
+        np.testing.assert_allclose(np.asarray(t_img), np.asarray(d_img), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(t_mask), np.asarray(d_mask), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(t_depth), np.asarray(d_depth), atol=2e-3)
+
+    def test_gradients_match_dense(self):
+        n = 40
+        means, covs, ops, channels = make_gaussians(jax.random.PRNGKey(7), n)
+        bg = jnp.asarray([0.5, 0.1, 0.0, 0.2])
+        target = jax.random.uniform(jax.random.PRNGKey(8), (4, H, W))
+
+        def loss_fn(params, backend):
+            means_, covs_, ops_, ch_ = params
+            sg = project(means_, covs_, ops_, ch_)
+            if backend == "dense":
+                img, mask, depth = composite_dense(sg, (H, W), bg, tile_size=16)
+            else:
+                img, mask, depth = composite_tiled(sg, (H, W), bg)
+            return ((img - target) ** 2).mean() + mask.mean() + 1e-3 * depth.mean()
+
+        params = (means, covs, ops, channels)
+        g_dense = jax.grad(lambda p: loss_fn(p, "dense"))(params)
+        g_tiled = jax.grad(lambda p: loss_fn(p, "tiled"))(params)
+        for gd, gt, name in zip(g_dense, g_tiled, ["means", "covs", "ops", "ch"]):
+            gd, gt = np.asarray(gd), np.asarray(gt)
+            scale = np.abs(gd).max() + 1e-8
+            np.testing.assert_allclose(
+                gt / scale, gd / scale, atol=5e-3,
+                err_msg=f"gradient mismatch for {name}",
+            )
+
+    def test_gradient_finite_differences(self):
+        n = 6
+        means, covs, ops, channels = make_gaussians(jax.random.PRNGKey(9), n)
+        bg = jnp.zeros((4,))
+
+        def loss_fn(op_vec):
+            sg = project(means, covs, op_vec, channels)
+            img, mask, _ = composite_tiled(sg, (H, W), bg)
+            return (img**2).mean() + mask.mean()
+
+        g = np.asarray(jax.grad(loss_fn)(ops))
+        eps = 1e-3
+        for i in range(n):
+            delta = jnp.zeros_like(ops).at[i].set(eps)
+            fd = (float(loss_fn(ops + delta)) - float(loss_fn(ops - delta))) / (2 * eps)
+            assert g[i] == pytest.approx(fd, rel=0.05, abs=1e-5)
+
+
+class TestRenderAPI:
+    def test_render_color_and_features(self):
+        n = 50
+        key = jax.random.PRNGKey(11)
+        means, covs, ops, _ = make_gaussians(key, n)
+        color_sh = jax.random.normal(jax.random.fold_in(key, 1), (n, 3, 9)) * 0.3
+        feature_sh = jax.random.normal(jax.random.fold_in(key, 2), (n, 4, 4)) * 0.3
+
+        out = render(
+            EXTRINSICS[None],
+            INTRINSICS[None],
+            jnp.asarray([1.0]),
+            jnp.asarray([100.0]),
+            (H, W),
+            jnp.zeros((1, 3)),
+            means[None],
+            covs[None],
+            ops[None],
+            color_sh[None],
+            feature_sh[None],
+            backend="dense",
+        )
+        assert out.color.shape == (1, 3, H, W)
+        assert out.feature.shape == (1, 4, H, W)
+        assert out.mask.shape == (1, H, W)
+        assert out.depth.shape == (1, H, W)
+        assert np.all(np.asarray(out.color) >= 0.0)
+        assert np.asarray(out.mask).max() <= 1.0 + 1e-5
+
+    def test_scale_invariance(self):
+        n = 30
+        key = jax.random.PRNGKey(12)
+        means, covs, ops, _ = make_gaussians(key, n)
+        color_sh = jax.random.normal(jax.random.fold_in(key, 1), (n, 3, 1)) * 0.3
+
+        def go(s):
+            ext = EXTRINSICS.at[:3, 3].set(EXTRINSICS[:3, 3] * s)
+            return render(
+                ext[None],
+                INTRINSICS[None],
+                jnp.asarray([1.0 * s]),
+                jnp.asarray([100.0 * s]),
+                (H, W),
+                jnp.zeros((1, 3)),
+                means[None] * s,
+                covs[None] * s**2,
+                ops[None],
+                color_sh[None],
+                backend="dense",
+            )
+
+        out1 = go(1.0)
+        out2 = go(1000.0)
+        np.testing.assert_allclose(
+            np.asarray(out1.color), np.asarray(out2.color), atol=1e-3
+        )
+
+    def test_tiled_backend_vmap(self):
+        n = 20
+        key = jax.random.PRNGKey(13)
+        means, covs, ops, _ = make_gaussians(key, n)
+        color_sh = jax.random.normal(jax.random.fold_in(key, 1), (n, 3, 4)) * 0.2
+        b = 2
+        out = render(
+            jnp.tile(EXTRINSICS[None], (b, 1, 1)),
+            jnp.tile(INTRINSICS[None], (b, 1, 1)),
+            jnp.ones((b,)),
+            jnp.full((b,), 100.0),
+            (H, W),
+            jnp.zeros((b, 3)),
+            jnp.tile(means[None], (b, 1, 1)),
+            jnp.tile(covs[None], (b, 1, 1, 1)),
+            jnp.tile(ops[None], (b, 1)),
+            jnp.tile(color_sh[None], (b, 1, 1, 1)),
+            backend="tiled",
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.color[0]), np.asarray(out.color[1]), atol=1e-5
+        )
