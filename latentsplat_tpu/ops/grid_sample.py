@@ -3,12 +3,12 @@
 Functional twin of torch.nn.functional.grid_sample with mode='bilinear',
 padding_mode='zeros', align_corners=False — the exact configuration the
 reference uses for epipolar feature sampling
-(src/model/encoder/epipolar/epipolar_sampler.py:99-105).
+(src/model/encoder/epipolar/epipolar_sampler.py:99-105) — operating on
+channel-last (HWC) images, this framework's native layout.
 
-TPU note: implemented as four gathers + lerp weights. XLA lowers the
-gathers to dynamic-slice-in-loop or one fused gather; for the epipolar
+TPU note: implemented as four gathers + lerp weights; for the epipolar
 sampler's access pattern (32 samples/ray over a small feature map) this is
-bandwidth-bound and fuses well.
+bandwidth-bound and fuses well in XLA.
 """
 
 from __future__ import annotations
@@ -20,14 +20,14 @@ def grid_sample_2d(image: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     """Sample `image` at normalized coordinates.
 
     Args:
-      image: (C, H, W).
+      image: (H, W, C).
       coords: (..., 2) xy in [-1, 1]; (-1, -1) is the top-left corner of the
         top-left pixel (align_corners=False semantics).
 
     Returns:
       (..., C) sampled values, zero outside the image.
     """
-    c, h, w = image.shape
+    h, w, _ = image.shape
     x = (coords[..., 0] + 1.0) * (w / 2.0) - 0.5
     y = (coords[..., 1] + 1.0) * (h / 2.0) - 0.5
 
@@ -45,14 +45,12 @@ def grid_sample_2d(image: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
         inside = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
         ix_c = jnp.clip(ix, 0, w - 1).astype(jnp.int32)
         iy_c = jnp.clip(iy, 0, h - 1).astype(jnp.int32)
-        vals = image[:, iy_c, ix_c]  # (C, ...)
-        vals = jnp.moveaxis(vals, 0, -1)  # (..., C)
+        vals = image[iy_c, ix_c]  # (..., C)
         return vals * inside[..., None]
 
-    out = (
+    return (
         gather(x0, y0) * (wx0 * wy0)[..., None]
         + gather(x1, y0) * (wx1 * wy0)[..., None]
         + gather(x0, y1) * (wx0 * wy1)[..., None]
         + gather(x1, y1) * (wx1 * wy1)[..., None]
     )
-    return out

@@ -115,12 +115,12 @@ class TestGridSample:
         import torch.nn.functional as F
 
         rng = np.random.RandomState(3)
-        img = rng.normal(size=(4, 6, 5)).astype(np.float32)
+        img = rng.normal(size=(6, 5, 4)).astype(np.float32)  # HWC
         coords = rng.uniform(-1.3, 1.3, size=(7, 9, 2)).astype(np.float32)
 
         ours = np.asarray(grid_sample_2d(jnp.asarray(img), jnp.asarray(coords)))
         theirs = F.grid_sample(
-            torch.from_numpy(img)[None],
+            torch.from_numpy(img.transpose(2, 0, 1))[None],
             torch.from_numpy(coords)[None],
             mode="bilinear",
             padding_mode="zeros",
@@ -129,7 +129,7 @@ class TestGridSample:
         np.testing.assert_allclose(ours, theirs, atol=1e-5)
 
     def test_center_exact(self):
-        img = jnp.arange(4.0).reshape(1, 2, 2)
+        img = jnp.arange(4.0).reshape(2, 2, 1)
         # Center of pixel (0, 0) is at (-0.5, -0.5) in normalized coords.
         out = grid_sample_2d(img, jnp.asarray([[-0.5, -0.5]]))
         np.testing.assert_allclose(np.asarray(out), [[0.0]], atol=1e-6)
