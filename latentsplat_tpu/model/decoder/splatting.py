@@ -1,0 +1,149 @@
+"""Splatting decoder: Gaussians -> target-view renders.
+
+Parity with reference src/model/decoder/decoder_splatting_cuda.py:20-119,
+redesigned TPU-first: instead of repeating Gaussians per view and looping
+CUDA launches, the per-(batch, view) renders are one vmapped call into the
+tiled Pallas rasterizer (broadcasting Gaussians over the view axis costs
+nothing under vmap).
+
+Key semantic carried over exactly: the rendered feature posterior. When
+variational, feature channels pack mean+logvar; otherwise logvar :=
+log(1 - stop_grad(mask)) so empty pixels have ~unit variance around the
+zero background (decoder_splatting_cuda.py:43-48).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Literal, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ...ops.distributions import DiagonalGaussian
+from ...ops.rasterize import render, render_depth
+from ...ops.rasterize.api import Backend, DepthRenderingMode
+from ..types import Gaussians
+
+
+@dataclass
+class DecoderSplattingCfg:
+    name: str = "splatting"
+    backend: Backend = "tiled"
+
+
+@struct.dataclass
+class DecoderOutput:
+    color: Optional[jnp.ndarray]                       # (b, v, h, w, 3)
+    feature_posterior: Optional[DiagonalGaussian]      # over (b, v, h, w, c)
+    mask: jnp.ndarray                                  # (b, v, h, w)
+    depth: jnp.ndarray                                 # (b, v, h, w)
+
+
+class DecoderSplatting:
+    def __init__(
+        self,
+        cfg: DecoderSplattingCfg,
+        background_color=(0.0, 0.0, 0.0),
+        variational: bool = False,
+    ):
+        self.cfg = cfg
+        self.background_color = jnp.asarray(background_color, jnp.float32)
+        self.variational = variational
+
+    def __call__(
+        self,
+        gaussians: Gaussians,
+        extrinsics: jnp.ndarray,   # (b, v, 4, 4)
+        intrinsics: jnp.ndarray,   # (b, v, 3, 3)
+        near: jnp.ndarray,         # (b, v)
+        far: jnp.ndarray,          # (b, v)
+        image_shape: tuple[int, int],
+        depth_mode: Optional[DepthRenderingMode] = None,
+        return_colors: bool = True,
+        return_features: bool = True,
+    ) -> DecoderOutput:
+        b, v = extrinsics.shape[:2]
+        h, w = image_shape
+
+        color_sh = gaussians.color_harmonics if return_colors else None
+        feature_sh = gaussians.feature_harmonics if return_features else None
+        assert color_sh is not None or feature_sh is not None
+
+        def flat(x):
+            return x.reshape(b * v, *x.shape[2:])
+
+        def rep(x):
+            # Broadcast per-batch Gaussians across views -> (b*v, ...).
+            return flat(jnp.broadcast_to(x[:, None], (b, v, *x.shape[1:])))
+
+        out = render(
+            flat(extrinsics),
+            flat(intrinsics),
+            flat(near),
+            flat(far),
+            image_shape,
+            jnp.broadcast_to(self.background_color, (b * v, 3)),
+            rep(gaussians.means),
+            rep(gaussians.covariances),
+            rep(gaussians.opacities),
+            rep(color_sh) if color_sh is not None else None,
+            rep(feature_sh) if feature_sh is not None else None,
+            backend=self.cfg.backend,
+        )
+
+        # CHW -> HWC and unflatten (b, v).
+        color = (
+            out.color.transpose(0, 2, 3, 1).reshape(b, v, h, w, 3)
+            if out.color is not None
+            else None
+        )
+        mask = out.mask.reshape(b, v, h, w)
+        depth = out.depth.reshape(b, v, h, w)
+
+        if out.feature is not None:
+            features = out.feature.transpose(0, 2, 3, 1).reshape(b, v, h, w, -1)
+            if self.variational:
+                posterior = DiagonalGaussian.from_params(features, axis=-1)
+            else:
+                # Background = 0 = mean; unit variance on empty pixels
+                # (ref: decoder_splatting_cuda.py:43-48).
+                logvar = jnp.log1p(-jax.lax.stop_gradient(mask))[..., None]
+                logvar = jnp.broadcast_to(logvar, features.shape)
+                posterior = DiagonalGaussian(features, logvar)
+        else:
+            posterior = None
+
+        dec = DecoderOutput(color=color, feature_posterior=posterior, mask=mask, depth=depth)
+        if depth_mode is not None and depth_mode != "depth":
+            dec = dec.replace(
+                depth=self.render_special_depth(
+                    gaussians, extrinsics, intrinsics, near, far, image_shape, depth_mode
+                )
+            )
+        return dec
+
+    def render_special_depth(
+        self,
+        gaussians: Gaussians,
+        extrinsics, intrinsics, near, far,
+        image_shape: tuple[int, int],
+        mode: DepthRenderingMode = "depth",
+    ) -> jnp.ndarray:
+        b, v = extrinsics.shape[:2]
+        h, w = image_shape
+
+        def flat(x):
+            return x.reshape(b * v, *x.shape[2:])
+
+        def rep(x):
+            return flat(jnp.broadcast_to(x[:, None], (b, v, *x.shape[1:])))
+
+        result = render_depth(
+            flat(extrinsics), flat(intrinsics), flat(near), flat(far),
+            image_shape,
+            rep(gaussians.means), rep(gaussians.covariances), rep(gaussians.opacities),
+            mode=mode, backend=self.cfg.backend,
+        )
+        return result.reshape(b, v, h, w)

@@ -1,0 +1,448 @@
+"""The fused generator + discriminator training step (pure, jit/pjit-able).
+
+Functional re-design of the reference's manual-optimization training_step
+(src/model/model_wrapper.py:286-514):
+
+  * Lightning's two alternating optimizer passes become one pure function:
+    generator VJP -> adaptive GAN weighting -> Adam update, then the
+    discriminator loss on detached fakes -> Adam update.
+  * The reference's lazily-gated branches (`is_active` dict,
+    model_wrapper.py:276-284) become static StepFlags; the host picks the
+    matching compiled graph (a handful of combinations over a training run).
+  * The adaptive GAN weight (|grad nll| / |grad g| wrt the shared last
+    layer, src/loss/loss_group.py:33-44) is computed from two extra VJP
+    probe seeds on the same forward pass — the same 2-extra-backwards cost
+    as the reference's torch.autograd.grad calls.
+  * NaN-loss steps keep the previous params/opt state (the reference skips
+    the optimizer step and warns, model_wrapper.py:436-449).
+  * Data parallelism: this step is batch-sharded over a mesh via
+    jax.jit(..., in_shardings) by the caller — gradient all-reduce is an XLA
+    collective, replacing Lightning DDP (src/main.py:93-105).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from fractions import Fraction
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..loss.losses import LossGroup, adaptive_gan_weight
+from ..model.latentsplat import LatentSplat
+from ..model.types import GroundTruth, Prediction
+
+GROUP_NAMES = (
+    "gaussian",
+    "context",
+    "target_autoencoder",
+    "target_render_latent",
+    "target_render_image",
+    "target_combined",
+)
+
+# Groups that may carry GAN losses (ref: model_wrapper.py:411-419,455-460).
+GAN_GROUPS = ("context", "target_autoencoder", "target_combined")
+
+
+@dataclass(frozen=True)
+class StepFlags:
+    """Static per-step branch activity (host-side; keys the jit cache)."""
+
+    gaussian: bool
+    context: bool
+    target_autoencoder: bool
+    target_render_latent: bool
+    target_render_image: bool
+    target_combined: bool
+    gen_gan: Tuple[str, ...]   # groups with active generator loss
+    disc: Tuple[str, ...]      # groups with active discriminator loss
+
+    def __getitem__(self, name: str) -> bool:
+        return getattr(self, name)
+
+    @property
+    def needs_render(self) -> bool:
+        return (
+            self.gaussian
+            or self.target_render_latent
+            or self.target_render_image
+            or self.target_combined
+        )
+
+
+def make_step_flags(losses: Dict[str, LossGroup], step: int) -> StepFlags:
+    return StepFlags(
+        gaussian=losses["gaussian"].is_active(step),
+        context=losses["context"].is_active(step),
+        target_autoencoder=losses["target_autoencoder"].is_active(step),
+        target_render_latent=losses["target_render_latent"].is_active(step),
+        target_render_image=losses["target_render_image"].is_active(step),
+        target_combined=losses["target_combined"].is_active(step),
+        gen_gan=tuple(
+            g for g in GAN_GROUPS if losses[g].is_generator_active(step)
+        ),
+        disc=tuple(
+            g for g in GAN_GROUPS if losses[g].is_discriminator_active(step)
+        ),
+    )
+
+
+@struct.dataclass
+class TrainState:
+    params_gen: Any
+    params_disc: Optional[Any]
+    lpips_params: Any
+    opt_gen: Any
+    opt_disc: Optional[Any]
+    step: jnp.ndarray  # int32 scalar
+
+
+def build_optimizers(model: LatentSplat, opt_cfg, effective_batch_size: int):
+    """Two Adam chains mirroring configure_optimizers
+    (ref: model_wrapper.py:959-984 + lr scaling at 249-263)."""
+    g = opt_cfg.generator
+    generator_lr = g.lr * (effective_batch_size if g.scale_lr else 1.0)
+    autoencoder_lr = g.autoencoder_lr * (
+        effective_batch_size if g.scale_autoencoder_lr else 1.0
+    )
+
+    def warmup(base_lr):
+        return optax.linear_schedule(
+            init_value=base_lr * g.warm_up_start_factor,
+            end_value=base_lr,
+            transition_steps=g.warm_up_steps,
+        )
+
+    def adam(lr_schedule, betas):
+        return optax.chain(
+            optax.clip_by_global_norm(g.gradient_clip_val),
+            optax.scale_by_adam(b1=betas[0], b2=betas[1]),
+            optax.scale_by_learning_rate(lr_schedule),
+        )
+
+    def gen_labels(params):
+        return {
+            k: jax.tree_util.tree_map(
+                lambda _: "autoencoder" if k == "autoencoder" else "rest", v
+            )
+            for k, v in params.items()
+        }
+
+    opt_gen = optax.multi_transform(
+        {
+            "rest": adam(warmup(generator_lr), g.betas),
+            "autoencoder": adam(warmup(autoencoder_lr), g.autoencoder_betas),
+        },
+        gen_labels,
+    )
+
+    opt_disc = None
+    if opt_cfg.discriminator is not None and model.discriminator is not None:
+        d = opt_cfg.discriminator
+        disc_lr = d.lr * (effective_batch_size if d.scale_lr else 1.0)
+        opt_disc = optax.chain(
+            optax.clip_by_global_norm(d.gradient_clip_val),
+            optax.scale_by_adam(b1=d.betas[0], b2=d.betas[1]),
+            optax.scale_by_learning_rate(disc_lr),
+        )
+    return opt_gen, opt_disc
+
+
+def _get_path(tree, path):
+    node = tree
+    for key in path:
+        node = node[key]
+    return node
+
+
+def _where_finite(flag, new_tree, old_tree):
+    return jax.tree_util.tree_map(
+        lambda n, o: jnp.where(flag, n, o), new_tree, old_tree
+    )
+
+
+def generator_forward(
+    model: LatentSplat,
+    losses: Dict[str, LossGroup],
+    flags: StepFlags,
+    params_gen,
+    params_disc,
+    lpips_params,
+    batch: dict,
+    step,
+    rng: jax.Array,
+):
+    """One generator pass producing (nll_total, gan nll/g vectors, logs, aux).
+
+    Mirrors the branch structure of model_wrapper.py:330-434.
+    """
+    cfg = model.cfg
+    k_ctx, k_tgt, k_enc, k_gauss, k_latent = jax.random.split(rng, 5)
+
+    preds = {name: Prediction() for name in GROUP_NAMES}
+    target_image = batch["target"]["image"]
+    scale_factor = model.scale_factor
+    size = model.scaled_size(scale_factor, target_image.shape[-3:-1])
+
+    gts = {
+        "gaussian": None,
+        "context": GroundTruth(image=batch["context"]["image"]),
+        "target_autoencoder": GroundTruth(image=target_image),
+        "target_render_latent": GroundTruth(
+            near=batch["target"]["near"], far=batch["target"]["far"]
+        ),
+        "target_render_image": GroundTruth(
+            image=model.rescale(target_image, scale_factor)
+            if flags.target_render_image
+            else None,
+            near=batch["target"]["near"],
+            far=batch["target"]["far"],
+        ),
+        "target_combined": GroundTruth(
+            image=target_image,
+            near=batch["target"]["near"],
+            far=batch["target"]["far"],
+        ),
+    }
+
+    latents_to_decode = {}
+    context_latents = None
+
+    if flags.context or (
+        cfg.encode_latents
+        and (flags.target_render_latent or flags.target_render_image or flags.target_combined)
+    ):
+        posterior = model.ae_encode(params_gen, batch["context"]["image"])
+        preds["context"] = preds["context"].replace(posterior=posterior)
+        context_latents = posterior.sample(k_ctx)
+        if flags.context:
+            latents_to_decode["context"] = context_latents
+
+    if flags.target_autoencoder or flags.target_render_latent:
+        posterior = model.ae_encode(params_gen, target_image)
+        preds["target_autoencoder"] = preds["target_autoencoder"].replace(
+            posterior=posterior
+        )
+        target_latents = posterior.sample(k_tgt)
+        if flags.target_autoencoder:
+            latents_to_decode["target"] = target_latents
+        if flags.target_render_latent:
+            gts["target_render_latent"] = gts["target_render_latent"].replace(
+                image=target_latents
+            )
+
+    if flags.needs_render:
+        gaussians = model.apply_encoder(
+            params_gen,
+            batch["context"],
+            step,
+            k_enc,
+            features=context_latents if cfg.encode_latents else None,
+            deterministic=False,
+        )
+        if flags.gaussian:
+            preds["gaussian"] = preds["gaussian"].replace(
+                posterior=gaussians.feature_harmonics
+            )
+        rendered = model.decoder(
+            gaussians.sample(k_gauss)
+            if cfg.variational in ("gaussians", "none")
+            else gaussians.flatten(),
+            batch["target"]["extrinsics"],
+            batch["target"]["intrinsics"],
+            batch["target"]["near"],
+            batch["target"]["far"],
+            size,
+            return_colors=flags.target_render_image,
+            return_features=flags.target_render_latent or flags.target_combined,
+        )
+        preds["target_render_image"] = preds["target_render_image"].replace(
+            image=rendered.color, depth=rendered.depth
+        )
+        if rendered.feature_posterior is not None:
+            preds["target_render_latent"] = preds["target_render_latent"].replace(
+                posterior=rendered.feature_posterior
+            )
+            latent_sample = rendered.feature_posterior.sample(k_latent)
+            z = model.rescale(latent_sample, Fraction(1, cfg.supersampling_factor))
+            preds["target_render_latent"] = preds["target_render_latent"].replace(
+                image=z
+            )
+            if flags.target_combined:
+                if model.autoencoder.expects_skip:
+                    skip_z = (
+                        jnp.concatenate(
+                            [jax.lax.stop_gradient(rendered.color), latent_sample],
+                            axis=-1,
+                        )
+                        if model.autoencoder.expects_skip_extra
+                        else latent_sample
+                    )
+                else:
+                    skip_z = None
+                preds["target_combined"] = preds["target_combined"].replace(
+                    image=model.ae_decode(params_gen, z, skip_z)
+                )
+
+    # Batched VAE decodes for context/target autoencoder branches
+    # (ref: model_wrapper.py:388-396).
+    if latents_to_decode:
+        shapes = {k: v.shape for k, v in latents_to_decode.items()}
+        stacked = jnp.concatenate(
+            [v.reshape(-1, *v.shape[-3:]) for v in latents_to_decode.values()], axis=0
+        )
+        decoded = model.ae_decode(params_gen, stacked)
+        offset = 0
+        for name, shape in shapes.items():
+            count = 1
+            for s in shape[:-3]:
+                count *= s
+            images = decoded[offset : offset + count].reshape(
+                *shape[:-3], *decoded.shape[1:]
+            )
+            offset += count
+            target_group = "context" if name == "context" else "target_autoencoder"
+            preds[target_group] = preds[target_group].replace(image=images)
+
+    # Discriminator logits for generator losses (ref: model_wrapper.py:411-419).
+    for name in flags.gen_gan:
+        logits_fake = model.discriminate(params_disc, preds[name].image)
+        preds[name] = preds[name].replace(logits_fake=logits_fake)
+
+    # Losses.
+    lpips_fn = model.lpips_fn(lpips_params)
+    nll_total = jnp.asarray(0.0)
+    logs: Dict[str, jnp.ndarray] = {}
+    group_nll = {}
+    for name in GROUP_NAMES:
+        if not flags[name]:
+            continue
+        total, group_logs = losses[name].nll_total(
+            preds[name], gts[name], step, lpips_fn
+        )
+        logs.update(group_logs)
+        group_nll[name] = total
+        nll_total = nll_total + total
+
+    gan_nll = jnp.stack(
+        [group_nll.get(name, jnp.asarray(0.0)) for name in flags.gen_gan]
+    ) if flags.gen_gan else jnp.zeros((0,))
+    gan_g_list = []
+    for name in flags.gen_gan:
+        g_total, g_logs = losses[name].generator_total(preds[name], step)
+        logs.update(g_logs)
+        gan_g_list.append(g_total)
+    gan_g = jnp.stack(gan_g_list) if gan_g_list else jnp.zeros((0,))
+
+    # Fake images the discriminator pass needs (detached there).
+    fakes = {name: preds[name].image for name in flags.disc}
+    aux = {"logs": logs, "fakes": fakes}
+    return nll_total, gan_nll, gan_g, aux
+
+
+def make_train_step(
+    model: LatentSplat,
+    losses: Dict[str, LossGroup],
+    opt_gen,
+    opt_disc,
+):
+    """Returns train_step(state, batch, rng, flags) -> (state, logs).
+
+    `flags` must be passed as a static argument when jitting.
+    """
+
+    def train_step(state: TrainState, batch: dict, rng: jax.Array, flags: StepFlags):
+        step = state.step
+        rng_gen, rng_fwd = jax.random.split(rng)
+
+        def fwd(params_gen):
+            return generator_forward(
+                model, losses, flags, params_gen, state.params_disc,
+                state.lpips_params, batch, step, rng_fwd,
+            )
+
+        n_gan = len(flags.gen_gan)
+        leaf_path = model.last_layer_path()
+
+        (nll, gan_nll, gan_g, aux), vjp_fn = jax.vjp(fwd, state.params_gen)
+        zero_aux = jax.tree_util.tree_map(jnp.zeros_like, aux)
+        zero_vec = jnp.zeros((n_gan,))
+
+        # Adaptive weights per GAN group (2 probe backwards per group,
+        # matching the reference's torch.autograd.grad probes).
+        weights = []
+        for i in range(n_gan):
+            e_i = jnp.zeros((n_gan,)).at[i].set(1.0)
+            g_nll_leaf = _get_path(
+                vjp_fn((jnp.asarray(0.0), e_i, zero_vec, zero_aux))[0], leaf_path
+            )
+            g_g_leaf = _get_path(
+                vjp_fn((jnp.asarray(0.0), zero_vec, e_i, zero_aux))[0], leaf_path
+            )
+            weights.append(adaptive_gan_weight(g_nll_leaf, g_g_leaf))
+        w_vec = jnp.stack(weights) if weights else zero_vec
+
+        grads_gen = vjp_fn((jnp.asarray(1.0), zero_vec, w_vec, zero_aux))[0]
+        gen_loss = nll + (jnp.sum(w_vec * gan_g) if n_gan else 0.0)
+        for i, name in enumerate(flags.gen_gan):
+            aux["logs"][f"{name}/adaptive_weight"] = w_vec[i]
+
+        logs = dict(aux["logs"])
+        logs["generator/total"] = gen_loss
+
+        finite = jnp.isfinite(gen_loss)
+        updates, new_opt_gen = opt_gen.update(
+            grads_gen, state.opt_gen, state.params_gen
+        )
+        new_params_gen = optax.apply_updates(state.params_gen, updates)
+        params_gen = _where_finite(finite, new_params_gen, state.params_gen)
+        opt_gen_state = _where_finite(finite, new_opt_gen, state.opt_gen)
+
+        # ---- Discriminator pass (ref: model_wrapper.py:453-493) ----
+        params_disc = state.params_disc
+        opt_disc_state = state.opt_disc
+        if flags.disc:
+            def disc_loss_fn(p_disc):
+                total = jnp.asarray(0.0)
+                d_logs = {}
+                for name in flags.disc:
+                    fake = jax.lax.stop_gradient(aux["fakes"][name])
+                    logits_fake = model.discriminate(p_disc, fake)
+                    real_img = (
+                        batch["context"]["image"] if name == "context"
+                        else batch["target"]["image"]
+                    )
+                    logits_real = model.discriminate(p_disc, real_img)
+                    pred = Prediction(logits_fake=logits_fake, logits_real=logits_real)
+                    group_total, group_logs = losses[name].discriminator_total(pred, step)
+                    total = total + group_total
+                    d_logs.update(group_logs)
+                return total, d_logs
+
+            (d_loss, d_logs), grads_disc = jax.value_and_grad(
+                disc_loss_fn, has_aux=True
+            )(state.params_disc)
+            logs.update(d_logs)
+            logs["discriminator/total"] = d_loss
+            d_finite = jnp.isfinite(d_loss)
+            d_updates, new_opt_disc = opt_disc.update(
+                grads_disc, state.opt_disc, state.params_disc
+            )
+            new_params_disc = optax.apply_updates(state.params_disc, d_updates)
+            params_disc = _where_finite(d_finite, new_params_disc, state.params_disc)
+            opt_disc_state = _where_finite(d_finite, new_opt_disc, state.opt_disc)
+
+        new_state = state.replace(
+            params_gen=params_gen,
+            params_disc=params_disc,
+            opt_gen=opt_gen_state,
+            opt_disc=opt_disc_state,
+            step=state.step + 1,
+        )
+        return new_state, logs
+
+    return train_step

@@ -1,0 +1,189 @@
+"""End-to-end train-step tests: the minimum slice (encoder -> variational
+gaussians -> splat -> MSE) and the full VAE-GAN path."""
+
+from dataclasses import replace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from latentsplat_tpu.config import ModelCfg
+from latentsplat_tpu.loss.losses import (
+    LossCfg,
+    LossDiscriminatorCfg,
+    LossGroupCfg,
+    get_loss_group,
+)
+from latentsplat_tpu.model.autoencoder.identity import AutoencoderIdCfg
+from latentsplat_tpu.model.autoencoder.kl import AutoencoderKLCfg
+from latentsplat_tpu.model.decoder.splatting import DecoderSplattingCfg
+from latentsplat_tpu.model.discriminator.patch_gan import DiscriminatorPatchGanCfg
+from latentsplat_tpu.model.latentsplat import LatentSplat
+from latentsplat_tpu.training.step import (
+    GROUP_NAMES,
+    TrainState,
+    build_optimizers,
+    make_step_flags,
+    make_train_step,
+)
+from latentsplat_tpu.config import OptimizerCfg, DiscriminatorOptimizerCfg
+
+from tests.test_encoder import make_context, tiny_cfg
+
+
+def make_batch(key, b=1, v_c=2, v_t=2, hw=32):
+    ctx = make_context(key, b=b, v=v_c, hw=hw)
+    tgt = make_context(jax.random.fold_in(key, 1), b=b, v=v_t, hw=hw)
+    # host-only keys like "scene" are stripped before the jitted step
+    return {"context": ctx, "target": tgt}
+
+
+def make_losses(loss_cfgs):
+    return {
+        name: get_loss_group(name, loss_cfgs.get(name)) for name in GROUP_NAMES
+    }
+
+
+def build(model_cfg, loss_cfgs, batch, opt_cfg=None):
+    model = LatentSplat(cfg=model_cfg, background_color=(0.0, 0.0, 0.0))
+    losses = make_losses(loss_cfgs)
+    params = model.init_params(jax.random.PRNGKey(0), batch)
+    opt_cfg = opt_cfg or OptimizerCfg()
+    opt_gen, opt_disc = build_optimizers(model, opt_cfg, effective_batch_size=1)
+    state = TrainState(
+        params_gen=params["generator"],
+        params_disc=params.get("discriminator"),
+        lpips_params=params["lpips"],
+        opt_gen=opt_gen.init(params["generator"]),
+        opt_disc=(
+            opt_disc.init(params["discriminator"]) if opt_disc is not None else None
+        ),
+        step=jnp.asarray(0, jnp.int32),
+    )
+    step_fn = make_train_step(model, losses, opt_gen, opt_disc)
+    return model, losses, state, step_fn
+
+
+class TestMinimumSlice:
+    """Identity autoencoder + MSE on rendered color (the `_det`-style slice)."""
+
+    def setup_method(self):
+        self.model_cfg = ModelCfg(
+            autoencoder=AutoencoderIdCfg(),
+            encoder=tiny_cfg(),
+            decoder=DecoderSplattingCfg(backend="dense"),
+            discriminator=None,
+            encode_latents=False,
+            supersampling_factor=1,
+            variational="gaussians",
+        )
+        self.loss_cfgs = {
+            "target_render_image": LossGroupCfg(nll=[LossCfg(name="mse", weight=1.0)]),
+        }
+        self.batch = make_batch(jax.random.PRNGKey(7), hw=32)
+
+    def test_two_steps_reduce_loss(self):
+        model, losses, state, step_fn = build(
+            self.model_cfg, self.loss_cfgs, self.batch
+        )
+        flags = make_step_flags(losses, 0)
+        import functools
+
+        jitted = jax.jit(functools.partial(step_fn, flags=flags))
+        logs_seq = []
+        for i in range(8):
+            state, logs = jitted(state, self.batch, jax.random.PRNGKey(100 + i))
+            logs_seq.append(float(logs["generator/total"]))
+        assert np.isfinite(logs_seq).all()
+        # Overfitting a single batch must reduce the loss.
+        assert logs_seq[-1] < logs_seq[0]
+        assert int(state.step) == 8
+
+    def test_inactive_groups_do_not_render(self):
+        model, losses, state, step_fn = build(self.model_cfg, {}, self.batch)
+        flags = make_step_flags(losses, 0)
+        assert not flags.needs_render
+
+
+class TestFullVaeGan:
+    """Tiny KL-VAE with skip connections + PatchGAN, all losses active."""
+
+    def setup_method(self):
+        ae_cfg = AutoencoderKLCfg(
+            block_out_channels=[8, 16],
+            layers_per_block=1,
+            latent_channels=2,
+            skip_connections=True,
+            skip_extra=True,
+            skip_zero=True,
+            pretrained=False,
+        )
+        self.model_cfg = ModelCfg(
+            autoencoder=ae_cfg,
+            encoder=tiny_cfg(),
+            decoder=DecoderSplattingCfg(backend="dense"),
+            discriminator=DiscriminatorPatchGanCfg(
+                base_dim=8, n_layers=2, pretrained=False
+            ),
+            encode_latents=False,
+            supersampling_factor=2,  # downscale 2 -> render at full res
+            variational="gaussians",
+        )
+        self.loss_cfgs = {
+            "gaussian": LossGroupCfg(nll=[LossCfg(name="kl", weight=1e-4)]),
+            "target_render_image": LossGroupCfg(nll=[LossCfg(name="mse", weight=1.0)]),
+            "target_combined": LossGroupCfg(
+                nll=[LossCfg(name="l1"), LossCfg(name="lpips", weight=0.1)],
+                generator=LossCfg(name="generator", weight=0.5),
+                discriminator=LossDiscriminatorCfg(loss="hinge"),
+            ),
+        }
+        self.batch = make_batch(jax.random.PRNGKey(8), hw=32)
+        self.opt_cfg = OptimizerCfg(discriminator=DiscriminatorOptimizerCfg())
+
+    def test_full_step_runs_and_updates(self):
+        model, losses, state, step_fn = build(
+            self.model_cfg, self.loss_cfgs, self.batch, self.opt_cfg
+        )
+        flags = make_step_flags(losses, 0)
+        assert flags.gen_gan == ("target_combined",)
+        assert flags.disc == ("target_combined",)
+
+        import functools
+
+        jitted = jax.jit(functools.partial(step_fn, flags=flags))
+        state2, logs = jitted(state, self.batch, jax.random.PRNGKey(0))
+
+        assert np.isfinite(float(logs["generator/total"]))
+        assert np.isfinite(float(logs["discriminator/total"]))
+        assert np.isfinite(float(logs["target_combined/adaptive_weight"]))
+        assert 0.0 <= float(logs["target_combined/adaptive_weight"]) <= 1.0
+
+        # Both parameter sets must have changed.
+        def changed(a, b):
+            return any(
+                np.abs(np.asarray(x) - np.asarray(y)).max() > 0
+                for x, y in zip(
+                    jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)
+                )
+            )
+
+        assert changed(state.params_gen, state2.params_gen)
+        assert changed(state.params_disc, state2.params_disc)
+        # LPIPS stays frozen.
+        assert not changed(state.lpips_params, state2.lpips_params)
+
+    def test_step_gating_masks_losses(self):
+        # With apply_after_step in the future, the loss contribution is zero.
+        gated = dict(self.loss_cfgs)
+        gated["target_combined"] = LossGroupCfg(
+            nll=[LossCfg(name="l1", apply_after_step=10_000)],
+        )
+        model, losses, state, step_fn = build(
+            self.model_cfg, gated, self.batch, self.opt_cfg
+        )
+        flags = make_step_flags(losses, 0)
+        assert not flags.target_combined  # inactive until 10k
+        flags_10k = make_step_flags(losses, 10_000)
+        assert flags_10k.target_combined
