@@ -1,0 +1,152 @@
+"""Headline benchmark: 256x256 target-view render throughput per chip.
+
+This is the reference's `decoder` timing surface (benchmark.json,
+src/model/model_wrapper.py:542-550: one CUDA rasterizer launch per target
+view at test time) expressed as views/sec. The scene matches the flagship
+re10k test shape: 393,216 Gaussians (2 context views x 256^2 pixels x 3
+gaussians/pixel), color SH degree 4 (25 coeffs) + 4 latent feature channels
+SH degree 2 (9 coeffs), rendered to 256^2 with alpha mask + expected depth.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "views/sec/chip", "vs_baseline": N}
+
+`vs_baseline` divides by REFERENCE_VIEWS_PER_SEC, a conservative estimate of
+the reference CUDA rasterizer's forward throughput on its A100-class
+hardware (the repo publishes no numbers; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REFERENCE_VIEWS_PER_SEC = 100.0  # assumed A100 CUDA decoder timing anchor
+
+H = W = 256
+N_GAUSSIANS = 2 * 256 * 256 * 3
+N_VIEWS = 4          # views rendered per call (vmapped batch)
+N_FEATURES = 4
+COLOR_SH = 25        # degree 4
+FEATURE_SH = 9       # degree 2
+ITERS = 5
+
+
+def make_scene(key):
+    """Random but plausible scene: gaussians in the frustum of arc cameras."""
+    from latentsplat_tpu.dataset.synthetic import _look_at
+
+    ks = jax.random.split(key, 6)
+    means = jnp.stack(
+        [
+            jax.random.uniform(ks[0], (N_GAUSSIANS,), minval=-1.5, maxval=1.5),
+            jax.random.uniform(ks[1], (N_GAUSSIANS,), minval=-1.5, maxval=1.5),
+            jax.random.uniform(ks[2], (N_GAUSSIANS,), minval=2.0, maxval=6.0),
+        ],
+        axis=-1,
+    )
+    scale = jax.random.uniform(ks[3], (N_GAUSSIANS, 3), minval=5e-3, maxval=2e-2)
+    covariances = jnp.eye(3)[None] * (scale**2)[:, :, None]  # diag(scale^2)
+    opacities = jax.random.uniform(ks[4], (N_GAUSSIANS,), minval=0.3, maxval=1.0)
+    k5, k6 = jax.random.split(ks[5])
+    color_sh = jax.random.normal(k5, (N_GAUSSIANS, 3, COLOR_SH)) * 0.3
+    feature_sh = jax.random.normal(k6, (N_GAUSSIANS, N_FEATURES, FEATURE_SH)) * 0.3
+
+    angles = np.linspace(-0.3, 0.3, N_VIEWS)
+    extrinsics = jnp.asarray(
+        np.stack(
+            [
+                _look_at(
+                    np.array(
+                        [2.0 * np.sin(a), 0.2 * np.sin(2 * a), -2.0 * np.cos(a) + 2.0],
+                        np.float32,
+                    ),
+                    np.array([0.0, 0.0, 4.0], np.float32),
+                )
+                for a in angles
+            ]
+        )
+    )
+    intrinsics = jnp.tile(
+        jnp.asarray([[1.2, 0.0, 0.5], [0.0, 1.2, 0.5], [0.0, 0.0, 1.0]]),
+        (N_VIEWS, 1, 1),
+    )
+    near = jnp.full((N_VIEWS,), 0.5)
+    far = jnp.full((N_VIEWS,), 20.0)
+
+    # One scene, N_VIEWS views; gaussians shared across views.
+    return dict(
+        extrinsics=extrinsics[None],
+        intrinsics=intrinsics[None],
+        near=near[None],
+        far=far[None],
+        background_color=jnp.zeros((1, 3)),
+        gaussian_means=means[None],
+        gaussian_covariances=covariances[None],
+        gaussian_opacities=opacities[None],
+        gaussian_color_sh=color_sh[None],
+        gaussian_feature_sh=feature_sh[None],
+    )
+
+
+def main() -> None:
+    from latentsplat_tpu.ops.rasterize import render
+
+    dev = jax.devices()[0]
+    print(f"benchmarking on {dev.platform}:{dev.device_kind}", file=sys.stderr)
+
+    scene = jax.device_put(make_scene(jax.random.PRNGKey(0)))
+
+    @jax.jit
+    def fwd(scene, seed):
+        # Perturb opacities per iteration so no caching layer can reuse the
+        # previous result; fold outputs to one scalar so completion is
+        # observable through a host transfer (block_until_ready can be
+        # unreliable over remote backends).
+        scene = dict(scene)
+        scene["gaussian_opacities"] = scene["gaussian_opacities"] * (
+            1.0 - 1e-6 * seed
+        )
+        out = render(image_shape=(H, W), **scene)
+        return (
+            jnp.sum(out.color) + jnp.sum(out.feature)
+            + jnp.sum(out.mask) + jnp.sum(out.depth)
+        )
+
+    # Warmup / compile.
+    t0 = time.perf_counter()
+    print(float(fwd(scene, jnp.float32(0.0))), file=sys.stderr)
+    print(f"compile+first run: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    times = []
+    for i in range(ITERS):
+        t0 = time.perf_counter()
+        float(fwd(scene, jnp.float32(i + 1.0)))  # host transfer = completion
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    print(f"times(s): {['%.4f' % t for t in times]}", file=sys.stderr)
+    per_view = times[len(times) // 2] / N_VIEWS  # median
+    views_per_sec = 1.0 / per_view
+    print(
+        f"fwd: {per_view * 1e3:.3f} ms/view ({views_per_sec:.1f} views/s)",
+        file=sys.stderr,
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "render_256px_393k_gaussians_fwd",
+                "value": round(views_per_sec, 2),
+                "unit": "views/sec/chip",
+                "vs_baseline": round(views_per_sec / REFERENCE_VIEWS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -79,6 +79,7 @@ class TrainerCfg:
     max_steps: int = 200_001
     val_check_interval: int = 250
     log_every_n_steps: int = 50
+    num_devices: Optional[int] = None  # bound the data-parallel mesh (None = all)
 
 
 @dataclass

@@ -116,7 +116,9 @@ def set_dotted(cfg: dict, dotted_key: str, value: Any) -> None:
     keys = dotted_key.split(".")
     node = cfg
     for k in keys[:-1]:
-        node = node.setdefault(k, {})
+        if not isinstance(node.get(k), dict):
+            node[k] = {}
+        node = node[k]
     node[keys[-1]] = value
 
 

@@ -2,9 +2,9 @@
 
 Parity with reference src/model/decoder/decoder_splatting_cuda.py:20-119,
 redesigned TPU-first: instead of repeating Gaussians per view and looping
-CUDA launches, the per-(batch, view) renders are one vmapped call into the
-tiled Pallas rasterizer (broadcasting Gaussians over the view axis costs
-nothing under vmap).
+CUDA launches (decoder_splatting_cuda.py:33-41), the scene batch is vmapped
+and each scene's views are rendered sequentially inside one compiled
+program, sharing the Gaussian payload across views (see ops/rasterize/api).
 
 Key semantic carried over exactly: the rendered feature posterior. When
 variational, feature channels pack mean+logvar; otherwise logvar :=
@@ -71,39 +71,32 @@ class DecoderSplatting:
         feature_sh = gaussians.feature_harmonics if return_features else None
         assert color_sh is not None or feature_sh is not None
 
-        def flat(x):
-            return x.reshape(b * v, *x.shape[2:])
-
-        def rep(x):
-            # Broadcast per-batch Gaussians across views -> (b*v, ...).
-            return flat(jnp.broadcast_to(x[:, None], (b, v, *x.shape[1:])))
-
+        # Gaussians carry only the scene axis; the renderer shares them
+        # across that scene's views (no per-view duplication).
         out = render(
-            flat(extrinsics),
-            flat(intrinsics),
-            flat(near),
-            flat(far),
+            extrinsics,
+            intrinsics,
+            near,
+            far,
             image_shape,
-            jnp.broadcast_to(self.background_color, (b * v, 3)),
-            rep(gaussians.means),
-            rep(gaussians.covariances),
-            rep(gaussians.opacities),
-            rep(color_sh) if color_sh is not None else None,
-            rep(feature_sh) if feature_sh is not None else None,
+            jnp.broadcast_to(self.background_color, (b, 3)),
+            gaussians.means,
+            gaussians.covariances,
+            gaussians.opacities,
+            color_sh,
+            feature_sh,
             backend=self.cfg.backend,
         )
 
-        # CHW -> HWC and unflatten (b, v).
+        # (b, v, c, h, w) -> (b, v, h, w, c).
         color = (
-            out.color.transpose(0, 2, 3, 1).reshape(b, v, h, w, 3)
-            if out.color is not None
-            else None
+            out.color.transpose(0, 1, 3, 4, 2) if out.color is not None else None
         )
-        mask = out.mask.reshape(b, v, h, w)
-        depth = out.depth.reshape(b, v, h, w)
+        mask = out.mask
+        depth = out.depth
 
         if out.feature is not None:
-            features = out.feature.transpose(0, 2, 3, 1).reshape(b, v, h, w, -1)
+            features = out.feature.transpose(0, 1, 3, 4, 2)
             if self.variational:
                 posterior = DiagonalGaussian.from_params(features, axis=-1)
             else:
@@ -131,19 +124,9 @@ class DecoderSplatting:
         image_shape: tuple[int, int],
         mode: DepthRenderingMode = "depth",
     ) -> jnp.ndarray:
-        b, v = extrinsics.shape[:2]
-        h, w = image_shape
-
-        def flat(x):
-            return x.reshape(b * v, *x.shape[2:])
-
-        def rep(x):
-            return flat(jnp.broadcast_to(x[:, None], (b, v, *x.shape[1:])))
-
-        result = render_depth(
-            flat(extrinsics), flat(intrinsics), flat(near), flat(far),
+        return render_depth(
+            extrinsics, intrinsics, near, far,
             image_shape,
-            rep(gaussians.means), rep(gaussians.covariances), rep(gaussians.opacities),
+            gaussians.means, gaussians.covariances, gaussians.opacities,
             mode=mode, backend=self.cfg.backend,
         )
-        return result.reshape(b, v, h, w)

@@ -17,8 +17,10 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+import math
+
 _F32_EPS = float(jnp.finfo(jnp.float32).eps)
-_LOG_TWO_PI = float(jnp.log(2.0 * jnp.pi))
+_LOG_TWO_PI = math.log(2.0 * math.pi)  # pure python: no device op at import
 
 
 @jax.tree_util.register_pytree_node_class

@@ -2,16 +2,21 @@
 `render_cuda` (src/model/decoder/cuda_splatting.py:56-167).
 
 Differences by design (TPU-first):
-  * The reference loops over views in Python, one CUDA launch each
-    (cuda_splatting.py:124-162). Here the whole view batch is vmapped into a
-    single compiled program.
+  * The reference repeats the Gaussians per target view and loops Python
+    over per-view CUDA launches (decoder_splatting_cuda.py:33-41 +
+    cuda_splatting.py:124-162). Here Gaussians carry a scene axis and views
+    a separate view axis: scenes are vmapped, views are lax.map'ed
+    *sequentially* inside one compiled program. Sequential views cost no
+    throughput (TPU grid programs execute serially per core anyway) and
+    avoid materializing per-view copies of the Gaussian payload (with
+    393k Gaussians x color SH deg 4, per-view duplication OOMs the chip).
   * Color SH (degree <= 4) is evaluated per-gaussian on the MXU (basis
     matmul) instead of inside the kernel; feature SH keeps the reference's
     outside-the-kernel evaluation (cuda_splatting.py:92-101) including the
     +0.5 offset. Color is offset by +0.5 and clamped at 0 exactly like the
     CUDA kernel's computeColorFromSH.
   * Scale-invariant pre-normalization by 1/near is preserved exactly
-    (cuda_splatting.py:75-81).
+    (cuda_splatting.py:75-81), applied per view inside the view loop.
 """
 
 from __future__ import annotations
@@ -35,10 +40,10 @@ Backend = Literal["dense", "tiled"]
 
 
 def render(
-    extrinsics: jnp.ndarray,            # (B, 4, 4)
-    intrinsics: jnp.ndarray,            # (B, 3, 3)
-    near: jnp.ndarray,                  # (B,)
-    far: jnp.ndarray,                   # (B,)
+    extrinsics: jnp.ndarray,            # (B, V, 4, 4)
+    intrinsics: jnp.ndarray,            # (B, V, 3, 3)
+    near: jnp.ndarray,                  # (B, V)
+    far: jnp.ndarray,                   # (B, V)
     image_shape: tuple[int, int],
     background_color: jnp.ndarray,      # (B, 3)
     gaussian_means: jnp.ndarray,        # (B, G, 3)
@@ -50,31 +55,23 @@ def render(
     use_sh: bool = True,
     backend: Backend = "tiled",
 ) -> RenderOutput:
-    """Render gaussians to a batch of views."""
+    """Render each scene's gaussians to its V views.
+
+    Returns RenderOutput with color (B, V, 3, H, W), feature (B, V, C, H, W),
+    mask/depth (B, V, H, W).
+    """
     assert gaussian_color_sh is not None or gaussian_feature_sh is not None
     if not use_sh:
         assert (gaussian_color_sh is None or gaussian_color_sh.shape[-1] == 1) and (
             gaussian_feature_sh is None or gaussian_feature_sh.shape[-1] == 1
         )
 
-    if scale_invariant:
-        # Pre-normalize the scene into a numerically safe range
-        # (parity: cuda_splatting.py:75-81).
-        scale = 1.0 / near
-        extrinsics = extrinsics.at[..., :3, 3].multiply(scale[:, None])
-        gaussian_covariances = gaussian_covariances * (scale[:, None, None, None] ** 2)
-        gaussian_means = gaussian_means * scale[:, None, None]
-        near = near * scale
-        far = far * scale
-
-    campos = extrinsics[:, :3, 3]
-
     has_color = gaussian_color_sh is not None
     has_feature = gaussian_feature_sh is not None
     n_color = 3 if has_color else 0
 
     def view_channels(means, color_sh, feature_sh, cam):
-        """Per-view per-gaussian composited channel payload."""
+        """Per-gaussian composited channel payload for one view."""
         direction = means - cam[None, :]
         direction = direction / (
             jnp.linalg.norm(direction, axis=-1, keepdims=True) + 1e-12
@@ -100,93 +97,137 @@ def render(
             parts.append(feat)
         return jnp.concatenate(parts, axis=-1)
 
-    def render_one(ext, intr, mns, covs, ops, c_sh, f_sh, cam, bg):
-        channels = view_channels(mns, c_sh, f_sh, cam)
-        sg = project_gaussians_to_screen(
-            mns, covs, ops, channels, ext, intr, image_shape
+    def render_scene(ext_v, intr_v, near_v, far_v, bg, mns, covs, ops, c_sh, f_sh):
+        """One scene: sequential map over its views, gaussians shared."""
+        n_ch = (3 if has_color else 0) + (
+            f_sh.shape[-2] if has_feature else 0
         )
-        n_ch = channels.shape[-1]
         bg_full = jnp.zeros((n_ch,), jnp.float32)
         if n_color:
             bg_full = bg_full.at[:n_color].set(bg)
-        if backend == "dense":
-            img, mask, depth = composite_dense(sg, image_shape, bg_full)
-        else:
+
+        def render_one(view):
+            ext, intr, nr, _fr = view
+            cam = ext[:3, 3]
+            # SH directions are scale-invariant; evaluate before normalizing.
+            channels = view_channels(mns, c_sh, f_sh, cam)
+            if scale_invariant:
+                # Pre-normalize the scene into a numerically safe range
+                # (parity: cuda_splatting.py:75-81).
+                s = 1.0 / nr
+                ext_s = ext.at[:3, 3].multiply(s)
+                mns_s = mns * s
+                covs_s = covs * (s * s)
+            else:
+                ext_s, mns_s, covs_s = ext, mns, covs
+            sg = project_gaussians_to_screen(
+                mns_s, covs_s, ops, channels, ext_s, intr, image_shape
+            )
+            if backend == "dense":
+                return composite_dense(sg, image_shape, bg_full)
             from .tiled import composite_tiled
 
-            img, mask, depth = composite_tiled(sg, image_shape, bg_full)
-        return img, mask, depth
+            return composite_tiled(sg, image_shape, bg_full)
 
-    imgs, masks, depths = jax.vmap(
-        render_one,
-        in_axes=(0, 0, 0, 0, 0, 0 if has_color else None,
-                 0 if has_feature else None, 0, 0),
-    )(
-        extrinsics,
-        intrinsics,
-        gaussian_means,
-        gaussian_covariances,
-        gaussian_opacities,
-        gaussian_color_sh,
-        gaussian_feature_sh,
-        campos,
-        background_color,
-    )
+        return jax.lax.map(render_one, (ext_v, intr_v, near_v, far_v))
 
-    color = imgs[:, :n_color] if has_color else None
-    feature = imgs[:, n_color:] if imgs.shape[1] > n_color else None
+    # Scenes are mapped sequentially as well (batch is 1-2 in practice and
+    # TPU grid programs execute serially per core, so there's nothing to
+    # gain from vmapping — and vmap-batched operands of a scalar-prefetch
+    # pallas_call miscompile on TPU, while closed-over/mapped ones work).
+    b = extrinsics.shape[0]
+    scene_args = [
+        extrinsics, intrinsics, near, far, background_color,
+        gaussian_means, gaussian_covariances, gaussian_opacities,
+    ]
+    if has_color:
+        scene_args.append(gaussian_color_sh)
+    if has_feature:
+        scene_args.append(gaussian_feature_sh)
+
+    def scene_fn(args):
+        ext_v, intr_v, near_v, far_v, bg, mns, covs, ops = args[:8]
+        rest = list(args[8:])
+        c_sh = rest.pop(0) if has_color else None
+        f_sh = rest.pop(0) if has_feature else None
+        return render_scene(ext_v, intr_v, near_v, far_v, bg, mns, covs, ops, c_sh, f_sh)
+
+    if b == 1:
+        one = scene_fn(tuple(x[0] for x in scene_args))
+        imgs, masks, depths = jax.tree_util.tree_map(lambda x: x[None], one)
+    else:
+        imgs, masks, depths = jax.lax.map(scene_fn, tuple(scene_args))
+
+    color = imgs[:, :, :n_color] if has_color else None
+    feature = imgs[:, :, n_color:] if imgs.shape[2] > n_color else None
     # NOTE depth is in the scale-normalized space when scale_invariant=True,
     # exactly like the reference (render_cuda never un-normalizes depth_map).
     return RenderOutput(color=color, feature=feature, mask=masks, depth=depths)
 
 
 def render_depth(
-    extrinsics: jnp.ndarray,
-    intrinsics: jnp.ndarray,
-    near: jnp.ndarray,
-    far: jnp.ndarray,
+    extrinsics: jnp.ndarray,            # (B, V, 4, 4)
+    intrinsics: jnp.ndarray,            # (B, V, 3, 3)
+    near: jnp.ndarray,                  # (B, V)
+    far: jnp.ndarray,                   # (B, V)
     image_shape: tuple[int, int],
-    gaussian_means: jnp.ndarray,
-    gaussian_covariances: jnp.ndarray,
-    gaussian_opacities: jnp.ndarray,
+    gaussian_means: jnp.ndarray,        # (B, G, 3)
+    gaussian_covariances: jnp.ndarray,  # (B, G, 3, 3)
+    gaussian_opacities: jnp.ndarray,    # (B, G)
     scale_invariant: bool = True,
     mode: DepthRenderingMode = "depth",
     backend: Backend = "tiled",
 ) -> jnp.ndarray:
-    """Render depth by compositing per-gaussian depth as the payload.
+    """Render depth (B, V, H, W) by compositing per-gaussian depth as the
+    payload.
 
     Parity: src/model/decoder/cuda_splatting.py:298-340 (renders camera-space
-    z as a fake color).
+    z as a fake color). The per-view camera-space depth becomes a per-view
+    1-channel "color" evaluated inside the view loop via a per-view SH DC
+    coefficient, so we render V single-channel images in one pass per view.
     """
-    w2c = invert_se3(extrinsics)
+    b, v = extrinsics.shape[:2]
+    # Camera-space z per (scene, view, gaussian).
+    w2c = invert_se3(extrinsics)                       # (B, V, 4, 4)
     cam_points = jnp.einsum(
-        "bij,bgj->bgi", w2c, homogenize_points(gaussian_means)
+        "bvij,bgj->bvgi", w2c, homogenize_points(gaussian_means)
     )
-    fake_color = cam_points[..., 2]
+    fake_color = cam_points[..., 2]                    # (B, V, G)
 
     if mode == "disparity":
         fake_color = 1.0 / fake_color
     elif mode == "relative_disparity":
-        fake_color = depth_to_relative_disparity(fake_color, near[:, None], far[:, None])
+        fake_color = depth_to_relative_disparity(
+            fake_color, near[:, :, None], far[:, :, None]
+        )
     elif mode == "log":
         fake_color = jnp.log(
-            jnp.clip(fake_color, jnp.minimum(near, far)[:, None], None)
+            jnp.clip(fake_color, jnp.minimum(near, far)[:, :, None], None)
         )
 
-    b = fake_color.shape[0]
+    # Each (scene, view) has its own payload -> flatten views into the scene
+    # axis for this renderer (payloads differ per view, so they can't be
+    # shared anyway).
+    def flat(x):
+        return x.reshape(b * v, *x.shape[2:])
+
+    def rep(x):
+        return flat(jnp.broadcast_to(x[:, None], (b, v, *x.shape[1:])))
+
     result = render(
-        extrinsics,
-        intrinsics,
-        near,
-        far,
+        flat(extrinsics)[:, None],
+        flat(intrinsics)[:, None],
+        flat(near)[:, None],
+        flat(far)[:, None],
         image_shape,
-        jnp.zeros((b, 3), jnp.float32),
-        gaussian_means,
-        gaussian_covariances,
-        gaussian_opacities,
-        gaussian_color_sh=jnp.tile(fake_color[..., None, None], (1, 1, 3, 1)),
+        jnp.zeros((b * v, 3), jnp.float32),
+        rep(gaussian_means),
+        rep(gaussian_covariances),
+        rep(gaussian_opacities),
+        gaussian_color_sh=fake_color.reshape(b * v, -1)[..., None, None].repeat(3, axis=-2),
         scale_invariant=scale_invariant,
         use_sh=False,
         backend=backend,
-    ).color
-    return result.mean(axis=1)
+    ).color  # (B*V, 1, 3, H, W)
+    h, w = image_shape
+    return result.mean(axis=2).reshape(b, v, h, w)

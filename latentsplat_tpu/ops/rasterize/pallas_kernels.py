@@ -2,31 +2,42 @@
 
 TPU-native equivalent of the reference's CUDA tile rasterizer forward and
 backward (external `latent-gaussian-rasterization`, characterized at
-src/model/decoder/cuda_splatting.py:124-158). Design (see also
-ops/rasterize/tiled.py for the XLA-side binning):
+src/model/decoder/cuda_splatting.py:124-158), redesigned around what TPUs
+are actually good and bad at:
 
-  * One grid program per 16x16 pixel tile; pixels are kept flattened as the
-    lane axis (256 = 2x128 lanes).
-  * The tile's depth-ordered pair list is contiguous in HBM after the
-    stable tile sort; chunks of K pairs are DMA'd into VMEM inside a
-    while loop with a per-tile dynamic trip count (scalar-prefetched
-    tile offsets).
+  * The CUDA pipeline duplicates gaussians into (tile, depth) pairs, radix
+    sorts 3.5M pairs, and builds per-tile ranges. On TPU, XLA gathers /
+    scatters / cumsums over millions of rows serialize (~3us/row measured),
+    so the pair expansion itself is the bottleneck (14.5 s/view at the
+    flagship scale). Instead, gaussians are depth-sorted ONCE per view
+    (grouped stable `lax.sort` calls — the only fast reordering primitive
+    on TPU) and every tile program scans the SAME depth-ordered attribute
+    matrix in CHUNK=128 column chunks, culling whole chunks with a
+    precomputed per-chunk tile bounding box held in SMEM. No pairs, no
+    scatter, no per-tile segments.
+  * Attributes are stored TRANSPOSED (n_attr_pad, G_pad): TPU DMA requires
+    the minor dimension of a slice to be lane-aligned, and chunk starts
+    i*CHUNK are provably 128-divisible.
+  * The (n_attr_pad, CHUNK) chunk is transposed to pair-major via an
+    identity matmul on the MXU (always lowers; narrow-matrix relayouts are
+    version-dependent).
   * Per-chunk transmittance uses log-space prefix sums computed as a
-    strictly-lower-triangular matmul on the MXU (instead of a sequential
-    scan, the CUDA approach); channel accumulation is one [C,K]x[K,P]
-    matmul per chunk, also on the MXU.
+    strictly-lower-triangular matmul on the MXU; channel accumulation is
+    one [C,K]x[K,P] matmul per chunk, also on the MXU.
   * Early exit per tile when every pixel saturates (log T < log 1e-4),
-    mirroring the CUDA kernel's T < 0.0001 cutoff. The number of processed
-    chunks is emitted so the backward pass replays exactly the same prefix.
-  * Backward re-traverses chunks in reverse, reconstructing transmittance
-    from the saved final value in log space (stable because alpha <= 0.99),
-    and computes per-pair gradients for mean2d/conic/opacity/channels that
-    the caller scatter-adds back per Gaussian (atomics-free, unlike CUDA's
-    atomicAdd).
+    mirroring the CUDA kernel's T < 0.0001 cutoff. The last processed chunk
+    index is emitted (as an extra output row — TPU pallas rejects narrow
+    SMEM output blocks) so the backward replays exactly the same prefix.
+  * Backward re-traverses the same chunks in reverse (same bbox skips),
+    reconstructing transmittance from the saved final value in log space
+    (stable because alpha <= 0.99). Chunks are shared between tiles, so
+    gradients ACCUMULATE into d_attrs via read-modify-write; grid steps on
+    a TPU core run sequentially ("arbitrary" dimension semantics), making
+    the RMW race-free — the TPU answer to CUDA's atomicAdd.
 
 Attribute row layout (n_attr = 6 + n_ch where n_ch = payload channels + 1
 expected-depth channel): [x, y, conic_a, conic_b, conic_c, opacity,
-channels..., depth].
+channels..., depth]; rows beyond 6 + n_ch are alignment padding (zeros).
 """
 
 from __future__ import annotations
@@ -41,10 +52,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 TILE = 16                      # pixels per tile side
 PIX = TILE * TILE              # pixels per tile (lane axis)
-CHUNK = 128                    # pairs composited per inner step
+CHUNK = 128                    # gaussians composited per inner step
 ALPHA_THRESHOLD = 1.0 / 255.0
 ALPHA_CLAMP = 0.99
 LOG_SATURATION = math.log(1.0e-4)
+
+
+def pad_attr_rows(n_attr: int) -> int:
+    """Attribute rows padded to the f32 sublane tile (8)."""
+    return ((n_attr + 7) // 8) * 8
 
 
 def _pixel_coords(tile_id, tiles_x):
@@ -71,12 +87,27 @@ def _strict_upper(k: int) -> jnp.ndarray:
     return (cols > rows).astype(jnp.float32)
 
 
-def _chunk_alpha(attrs, px, py, pair_offset, pair_end):
+def _eye(k: int) -> jnp.ndarray:
+    rows = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
+    return (cols == rows).astype(jnp.float32)
+
+
+def _transpose_mxu(m: jnp.ndarray) -> jnp.ndarray:
+    """(a, b) -> (b, a) via an identity matmul on the MXU."""
+    return jax.lax.dot_general(
+        m, _eye(m.shape[0]),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _chunk_alpha(attrs, px, py, chunk_offset, n_alive):
     """Alpha [CHUNK, PIX] of one attribute chunk, with validity masking.
 
-    attrs: (CHUNK, n_attr) VMEM values. pair_offset/pair_end: global pair
-    index bounds for overrun masking (a tile's last chunk may read into the
-    next tile's pairs).
+    attrs: (CHUNK, n_attr_pad) pair-major VMEM values. chunk_offset: global
+    index of this chunk's first gaussian; padding rows (index >= n_alive)
+    are masked out.
     Returns (alpha, power, dx, dy, exp_power).
     """
     x = attrs[:, 0:1]
@@ -94,9 +125,18 @@ def _chunk_alpha(attrs, px, py, pair_offset, pair_end):
     alpha = jnp.where(power > 0.0, 0.0, alpha)
     alpha = jnp.where(alpha < ALPHA_THRESHOLD, 0.0, alpha)
 
-    idx = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0) + pair_offset
-    alpha = jnp.where(idx < pair_end, alpha, 0.0)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0) + chunk_offset
+    alpha = jnp.where(idx < n_alive, alpha, 0.0)
     return alpha, power, dx, dy, exp_power
+
+
+def _tile_hits_chunk(t, tiles_x, cx0, cx1, cy0, cy1, i):
+    """Scalar test: does tile t's rect intersect chunk i's bbox?"""
+    ty = t // tiles_x
+    tx = t % tiles_x
+    return (
+        (cx0[i] <= tx) & (tx <= cx1[i]) & (cy0[i] <= ty) & (ty <= cy1[i])
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -105,22 +145,22 @@ def _chunk_alpha(attrs, px, py, pair_offset, pair_end):
 
 
 def _fwd_kernel(
-    tile_starts,     # scalar prefetch: (num_tiles + 1,) int32
-    attrs,           # ANY/HBM: (n_pairs_padded, n_attr) f32
-    out_ref,         # VMEM block: (1, n_ch + 1, PIX) f32
-    done_ref,        # SMEM block: (1,) int32
-    attr_buf,        # VMEM scratch: (CHUNK, n_attr) f32
+    meta,            # scalar prefetch: (1,) int32 = [n_alive]
+    cx0, cx1, cy0, cy1,  # scalar prefetch: (n_chunks,) int32 chunk tile-bboxes
+    attrs,           # ANY/HBM: (n_attr_pad, G_pad) f32, depth-sorted cols
+    out_ref,         # VMEM block: (1, n_ch + 2, PIX) f32
+                     #   rows [0, n_ch) = channels, n_ch = T_final,
+                     #   n_ch + 1 = last processed chunk bound (f32)
+    attr_buf,        # VMEM scratch: (n_attr_pad, CHUNK) f32
     lt_ref,          # VMEM scratch: (1, PIX) f32 (log transmittance)
     sem,             # DMA semaphore
     *,
     n_ch: int,
     tiles_x: int,
+    n_chunks: int,
 ):
     t = pl.program_id(0)
-    start = tile_starts[t]
-    end = tile_starts[t + 1]
-    n = end - start
-    n_chunks = (n + CHUNK - 1) // CHUNK
+    n_alive = meta[0]
 
     px, py = _pixel_coords(t, tiles_x)
 
@@ -130,33 +170,36 @@ def _fwd_kernel(
     lower = _strict_lower(CHUNK)
 
     def body(state):
-        i, _ = state
-        pos = start + i * CHUNK
-        copy = pltpu.make_async_copy(
-            attrs.at[pl.ds(pos, CHUNK), :], attr_buf, sem
-        )
-        copy.start()
-        copy.wait()
-        a = attr_buf[:]
+        i, ltmax = state
 
-        alpha, _, _, _, _ = _chunk_alpha(a, px, py, pos, end)
+        hit = _tile_hits_chunk(t, tiles_x, cx0, cx1, cy0, cy1, i)
 
-        la = jnp.log1p(-alpha)                      # (CHUNK, PIX), <= 0
-        excl = jnp.dot(lower, la, preferred_element_type=jnp.float32)
-        lt = lt_ref[:]                              # (1, PIX)
-        weight = alpha * jnp.exp(lt + excl)         # (CHUNK, PIX)
+        @pl.when(hit)
+        def _():
+            copy = pltpu.make_async_copy(
+                attrs.at[:, pl.ds(i * CHUNK, CHUNK)], attr_buf, sem
+            )
+            copy.start()
+            copy.wait()
+            a = _transpose_mxu(attr_buf[:])  # (CHUNK, n_attr_pad)
 
-        chans = a[:, 6 : 6 + n_ch]                  # (CHUNK, n_ch)
-        acc = jax.lax.dot_general(
-            chans, weight,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                            # (n_ch, PIX)
-        out_ref[0, 0:n_ch, :] += acc
+            alpha, _, _, _, _ = _chunk_alpha(a, px, py, i * CHUNK, n_alive)
 
-        lt_new = lt + jnp.sum(la, axis=0, keepdims=True)
-        lt_ref[:] = lt_new
-        return i + 1, jnp.max(lt_new)
+            la = jnp.log1p(-alpha)                      # (CHUNK, PIX), <= 0
+            excl = jnp.dot(lower, la, preferred_element_type=jnp.float32)
+            lt = lt_ref[:]                              # (1, PIX)
+            weight = alpha * jnp.exp(lt + excl)         # (CHUNK, PIX)
+
+            chans = a[:, 6 : 6 + n_ch]                  # (CHUNK, n_ch)
+            acc = jax.lax.dot_general(
+                chans, weight,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                            # (n_ch, PIX)
+            out_ref[0, 0:n_ch, :] += acc
+            lt_ref[:] = lt + jnp.sum(la, axis=0, keepdims=True)
+
+        return i + 1, jnp.max(lt_ref[:])
 
     def cond(state):
         i, ltmax = state
@@ -165,12 +208,13 @@ def _fwd_kernel(
     final_i, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.float32(0.0)))
 
     out_ref[0, n_ch, :] = jnp.exp(lt_ref[0])
-    done_ref[0] = final_i
+    out_ref[0, n_ch + 1, :] = jnp.full((PIX,), final_i.astype(jnp.float32))
 
 
-def composite_pairs_fwd(
-    attrs_pairs: jnp.ndarray,   # (n_pairs_padded, n_attr) f32
-    tile_starts: jnp.ndarray,   # (num_tiles + 1,) int32
+def composite_scan_fwd(
+    attrs_sorted: jnp.ndarray,   # (n_attr_pad, G_pad) f32, depth-sorted cols
+    n_alive: jnp.ndarray,        # () int32
+    chunk_bbox: tuple,           # 4x (n_chunks,) int32: cx0, cx1, cy0, cy1
     *,
     n_ch: int,
     tiles_x: int,
@@ -179,32 +223,38 @@ def composite_pairs_fwd(
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Run the forward kernel. Returns (out_tiles [T, n_ch+1, PIX], done [T])."""
     num_tiles = tiles_x * tiles_y
-    n_attr = attrs_pairs.shape[-1]
+    n_attr = attrs_sorted.shape[0]
+    n_chunks = attrs_sorted.shape[1] // CHUNK
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=5,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=(
-            pl.BlockSpec((1, n_ch + 1, PIX), lambda t, *_: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1,), lambda t, *_: (t,), memory_space=pltpu.SMEM),
-        ),
+        out_specs=pl.BlockSpec((1, n_ch + 2, PIX), lambda t, *_: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((CHUNK, n_attr), jnp.float32),
+            pltpu.VMEM((n_attr, CHUNK), jnp.float32),
             pltpu.VMEM((1, PIX), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )
-    kernel = functools.partial(_fwd_kernel, n_ch=n_ch, tiles_x=tiles_x)
-    out_tiles, done = pl.pallas_call(
+    kernel = functools.partial(
+        _fwd_kernel, n_ch=n_ch, tiles_x=tiles_x, n_chunks=n_chunks
+    )
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((num_tiles, n_ch + 1, PIX), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles,), jnp.int32),
-        ),
+        out_shape=jax.ShapeDtypeStruct((num_tiles, n_ch + 2, PIX), jnp.float32),
         interpret=interpret,
-    )(tile_starts, attrs_pairs)
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)
+        ),
+    )(
+        n_alive.reshape(1).astype(jnp.int32),
+        *chunk_bbox,
+        attrs_sorted,
+    )
+    out_tiles = out[:, : n_ch + 1]
+    done = out[:, n_ch + 1, 0].astype(jnp.int32)
     return out_tiles, done
 
 
@@ -214,27 +264,30 @@ def composite_pairs_fwd(
 
 
 def _bwd_kernel(
-    tile_starts,     # scalar prefetch: (num_tiles + 1,) int32
+    meta,            # scalar prefetch: (1,) int32 = [n_alive]
+    cx0, cx1, cy0, cy1,  # scalar prefetch: (n_chunks,) int32
     done_s,          # scalar prefetch: (num_tiles,) int32
-    attrs,           # ANY/HBM: (n_pairs_padded, n_attr) f32
+    attrs,           # ANY/HBM: (n_attr_pad, G_pad) f32
     g_tiles,         # VMEM block: (1, n_ch + 1, PIX) f32 cotangents
     t_final,         # VMEM block: (1, 1, PIX) f32 final transmittance
-    d_attrs,         # ANY/HBM out: (n_pairs_padded, n_attr) f32
-    attr_buf,        # VMEM scratch: (CHUNK, n_attr) f32
-    grad_buf,        # VMEM scratch: (CHUNK, n_attr) f32
+    d_attrs,         # ANY/HBM out: (n_attr_pad, G_pad) f32, ACCUMULATED
+                     #   (program 0 zero-fills it first; the grid is
+                     #   sequential so later programs see the memset)
+    attr_buf,        # VMEM scratch: (n_attr_pad, CHUNK) f32
+    grad_tmp,        # VMEM scratch: (CHUNK, n_attr_pad) f32 (pair-major)
+    acc_buf,         # VMEM scratch: (n_attr_pad, CHUNK) f32 (RMW accumulator)
     lt_ref,          # VMEM scratch: (1, PIX) f32 (log T *after* current chunk)
     s_ref,           # VMEM scratch: (1, PIX) f32 (suffix dot-product state)
-    sem_in,          # DMA semaphore (loads)
+    sem_in,          # DMA semaphore (attr loads)
+    sem_acc,         # DMA semaphore (grad RMW loads)
     sem_out,         # DMA semaphore (stores)
     *,
     n_ch: int,
     tiles_x: int,
+    n_chunks: int,
 ):
     t = pl.program_id(0)
-    start = tile_starts[t]
-    end = tile_starts[t + 1]
-    n = end - start
-    n_chunks = (n + CHUNK - 1) // CHUNK
+    n_alive = meta[0]
     done = done_s[t]
 
     px, py = _pixel_coords(t, tiles_x)
@@ -248,22 +301,48 @@ def _bwd_kernel(
     lt_ref[:] = jnp.log(jnp.maximum(t_n, 1e-38))
     s_ref[:] = g_t * t_n
 
+    # Zero the padding columns once; the loop only writes [0, 6 + n_ch).
+    grad_tmp[:] = jnp.zeros_like(grad_tmp)
+
+    # Program 0 initializes the gradient accumulator (sequential grid).
+    @pl.when(t == 0)
+    def _memset():
+        acc_buf[:] = jnp.zeros_like(acc_buf)
+
+        def zero_chunk(j, _):
+            store = pltpu.make_async_copy(
+                acc_buf, d_attrs.at[:, pl.ds(j * CHUNK, CHUNK)], sem_out
+            )
+            store.start()
+            store.wait()
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, zero_chunk, 0)
+
     lower = _strict_lower(CHUNK)
     upper = _strict_upper(CHUNK)
 
     def body(state):
         (i,) = state
-        pos = start + i * CHUNK
-        load = pltpu.make_async_copy(
-            attrs.at[pl.ds(pos, CHUNK), :], attr_buf, sem_in
-        )
-        load.start()
-        load.wait()
+        hit = _tile_hits_chunk(t, tiles_x, cx0, cx1, cy0, cy1, i)
 
-        @pl.when(i < done)
+        @pl.when(hit)
         def _():
-            a = attr_buf[:]
-            alpha, _, dx, dy, exp_power = _chunk_alpha(a, px, py, pos, end)
+            load = pltpu.make_async_copy(
+                attrs.at[:, pl.ds(i * CHUNK, CHUNK)], attr_buf, sem_in
+            )
+            load.start()
+            # Overlap: fetch the current gradient accumulator chunk.
+            acc_load = pltpu.make_async_copy(
+                d_attrs.at[:, pl.ds(i * CHUNK, CHUNK)], acc_buf, sem_acc
+            )
+            acc_load.start()
+            load.wait()
+
+            a = _transpose_mxu(attr_buf[:])  # (CHUNK, n_attr_pad)
+            alpha, _, dx, dy, exp_power = _chunk_alpha(
+                a, px, py, i * CHUNK, n_alive
+            )
             op = a[:, 5:6]
             ca = a[:, 2:3]
             cb = a[:, 3:4]
@@ -305,50 +384,51 @@ def _bwd_kernel(
                 preferred_element_type=jnp.float32,
             )                                              # (CHUNK, n_ch)
 
-            grad_buf[:, 0:1] = d_mx
-            grad_buf[:, 1:2] = d_my
-            grad_buf[:, 2:3] = d_ca
-            grad_buf[:, 3:4] = d_cb
-            grad_buf[:, 4:5] = d_cc
-            grad_buf[:, 5:6] = d_op
-            grad_buf[:, 6 : 6 + n_ch] = d_chans
+            grad_tmp[:, 0:1] = d_mx
+            grad_tmp[:, 1:2] = d_my
+            grad_tmp[:, 2:3] = d_ca
+            grad_tmp[:, 3:4] = d_cb
+            grad_tmp[:, 4:5] = d_cc
+            grad_tmp[:, 5:6] = d_op
+            grad_tmp[:, 6 : 6 + n_ch] = d_chans
+
+            acc_load.wait()
+            # Accumulate (chunks are shared between tiles; grid steps run
+            # sequentially, so read-modify-write is race-free).
+            acc_buf[:] = acc_buf[:] + _transpose_mxu(grad_tmp[:])
+            store = pltpu.make_async_copy(
+                acc_buf, d_attrs.at[:, pl.ds(i * CHUNK, CHUNK)], sem_out
+            )
+            store.start()
+            store.wait()
 
             s_ref[:] = s_ref[:] + jnp.sum(contrib, axis=0, keepdims=True)
             lt_ref[:] = lt_in
 
-        @pl.when(i >= done)
-        def _():
-            grad_buf[:] = jnp.zeros_like(grad_buf)
-
-        store = pltpu.make_async_copy(
-            grad_buf, d_attrs.at[pl.ds(pos, CHUNK), :], sem_out
-        )
-        store.start()
-        store.wait()
         return (i - 1,)
 
-    jax.lax.while_loop(
-        lambda s: s[0] >= 0, body, (n_chunks - 1,)
-    )
+    jax.lax.while_loop(lambda s: s[0] >= 0, body, (done - 1,))
 
 
-def composite_pairs_bwd(
-    attrs_pairs: jnp.ndarray,
-    tile_starts: jnp.ndarray,
-    done: jnp.ndarray,
-    g_tiles: jnp.ndarray,    # (T, n_ch + 1, PIX)
-    t_final: jnp.ndarray,    # (T, 1, PIX)
+def composite_scan_bwd(
+    attrs_sorted: jnp.ndarray,   # (n_attr_pad, G_pad) f32
+    n_alive: jnp.ndarray,        # () int32
+    chunk_bbox: tuple,           # 4x (n_chunks,) int32
+    done: jnp.ndarray,           # (num_tiles,) int32
+    g_tiles: jnp.ndarray,        # (T, n_ch + 1, PIX)
+    t_final: jnp.ndarray,        # (T, 1, PIX)
     *,
     n_ch: int,
     tiles_x: int,
     tiles_y: int,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Run the backward kernel. Returns d_attrs_pairs (same shape as attrs)."""
+    """Run the backward kernel. Returns accumulated d_attrs_sorted."""
     num_tiles = tiles_x * tiles_y
-    n_attr = attrs_pairs.shape[-1]
+    n_attr = attrs_sorted.shape[0]
+    n_chunks = attrs_sorted.shape[1] // CHUNK
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=6,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -359,20 +439,34 @@ def composite_pairs_bwd(
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
+            pltpu.VMEM((n_attr, CHUNK), jnp.float32),
             pltpu.VMEM((CHUNK, n_attr), jnp.float32),
-            pltpu.VMEM((CHUNK, n_attr), jnp.float32),
+            pltpu.VMEM((n_attr, CHUNK), jnp.float32),
             pltpu.VMEM((1, PIX), jnp.float32),
             pltpu.VMEM((1, PIX), jnp.float32),
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
     )
-    kernel = functools.partial(_bwd_kernel, n_ch=n_ch, tiles_x=tiles_x)
+    kernel = functools.partial(
+        _bwd_kernel, n_ch=n_ch, tiles_x=tiles_x, n_chunks=n_chunks
+    )
     d_attrs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(attrs_pairs.shape, jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(attrs_sorted.shape, jnp.float32),
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(tile_starts, done, attrs_pairs, g_tiles, t_final)
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            has_side_effects=True,
+        ),
+    )(
+        n_alive.reshape(1).astype(jnp.int32),
+        *chunk_bbox,
+        done,
+        attrs_sorted,
+        g_tiles,
+        t_final,
+    )
     return d_attrs

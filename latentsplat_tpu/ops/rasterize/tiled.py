@@ -1,23 +1,34 @@
-"""Tiled rasterization: XLA binning + Pallas compositing with custom VJP.
+"""Tiled rasterization: depth-sorted chunk scan with in-kernel tile culling.
 
-Pipeline (TPU-native replacement for the CUDA rasterizer's
-duplicate-with-keys / radix-sort / per-tile-range scheme):
+TPU-native replacement for the CUDA rasterizer's duplicate-with-keys /
+radix-sort / per-tile-range scheme (`latent-gaussian-rasterization`,
+characterized at src/model/decoder/cuda_splatting.py:124-158). Measured
+constraints drove the design (see pallas_kernels.py): XLA gathers/scatters
+over millions of rows serialize on TPU (~3 us/row), while `lax.sort` is
+fast (~60 ms @ 393k) — so the only data reordering is depth sorting, done
+as grouped stable multi-operand sorts (payload rides the sort network;
+variadic sorts beyond ~6 operands explode XLA compile time, hence groups).
 
-  1. Depth-sort all screen Gaussians once (argsort). A single global depth
-     order induces the correct per-pixel compositing order for every tile.
-  2. Expand each Gaussian into (tile_id, rank) pairs for the tiles its
-     3-sigma rect overlaps, with a static per-Gaussian cap
-     (max_tiles_per_gaussian). Invalid slots get a sentinel tile id.
-  3. Stable-sort pairs by tile id (stability preserves depth order within a
-     tile), compute per-tile segment offsets with searchsorted, and gather
-     per-pair attribute rows. The gather is plain jnp, so reverse-mode AD
-     gives the per-Gaussian scatter-add of pair gradients for free.
-  4. The Pallas kernels (pallas_kernels.py) composite each tile's contiguous
-     pair segment. Only that compositing step needs a hand-written VJP.
+Pipeline:
+  1. Project all gaussians (camera.py, dense XLA).
+  2. Depth-sort the per-gaussian attribute rows with grouped stable sorts
+     keyed on camera depth (dead gaussians sink to the end with key=+inf).
+     An iota payload records the permutation for the backward unsort.
+  3. Precompute per-chunk (128 gaussians) tile-space bounding boxes —
+     pure reshape+reduce, no gather.
+  4. The Pallas kernel scans the shared depth-sorted matrix per tile,
+     skipping chunks whose bbox misses the tile (scalar test on SMEM
+     arrays), compositing hits front-to-back. No pair expansion, no
+     scatter, no per-tile segments.
+  5. Backward replays the same chunks per tile and ACCUMULATES per-gaussian
+     gradients (sequential-grid read-modify-write — the TPU's atomicAdd);
+     gradients are unsorted back with the same grouped-sort trick keyed on
+     the recorded permutation (applying a permutation == stable-sorting by
+     its inverse rank, avoiding the slow gather).
 
-Gradients flow to mean2d, conic, opacity, channels, and the composited
-depth; tile assignment and ordering are (correctly) treated as
-non-differentiable, like the CUDA implementation.
+Gradients flow to mean2d, conic, opacity, and channels; tile assignment,
+ordering, and the radius are (correctly) treated as non-differentiable,
+like the CUDA implementation.
 """
 
 from __future__ import annotations
@@ -31,158 +42,124 @@ from .pallas_kernels import (
     CHUNK,
     PIX,
     TILE,
-    composite_pairs_bwd,
-    composite_pairs_fwd,
+    composite_scan_bwd,
+    composite_scan_fwd,
+    pad_attr_rows,
 )
 from .types import ScreenGaussians
 
-DEFAULT_MAX_TILES_PER_GAUSSIAN = 9
+# Payload rows per stable sort call. lax.sort compile time grows steeply
+# with operand count (17 operands failed to compile in 9 min on v5e); 3-4
+# payload rows per call compiles in ~30 s and runs ~120 ms @ 393k.
+SORT_GROUP = 3
 
 
 def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def bin_gaussians(
-    sg: ScreenGaussians,
-    image_shape: tuple[int, int],
-    max_tiles_per_gaussian: int = DEFAULT_MAX_TILES_PER_GAUSSIAN,
-):
-    """Build the depth-ordered, tile-sorted pair arrays.
+def _grouped_sort(key: jnp.ndarray, rows: list[jnp.ndarray]) -> list[jnp.ndarray]:
+    """Stable-sort every row by `key` using grouped multi-operand sorts.
 
-    Returns (attrs_pairs [n_pairs + CHUNK, n_attr], tile_starts
-    [num_tiles + 1], valid_pairs [n_pairs + CHUNK] bool).
+    Stability guarantees all groups see the identical permutation even with
+    duplicate keys.
     """
-    h, w = image_shape
-    assert h % TILE == 0 and w % TILE == 0, "image dims must be multiples of 16"
-    tiles_x = w // TILE
-    tiles_y = h // TILE
-    num_tiles = tiles_x * tiles_y
-    cap = max_tiles_per_gaussian
-    g = sg.num_gaussians
-
-    alive = sg.radius > 0.0
-    depth_key = jnp.where(alive, sg.depth, jnp.inf)
-    order = jnp.argsort(depth_key)
-
-    packed = jnp.concatenate(
-        [
-            sg.mean2d,
-            sg.conic,
-            sg.opacity[:, None],
-            sg.channels,
-            sg.depth[:, None],
-        ],
-        axis=-1,
-    )  # (G, n_attr)
-    packed_sorted = packed[order]
-
-    # Tile rects from non-differentiable copies (indices must not carry grads).
-    mean_nd = jax.lax.stop_gradient(sg.mean2d[order])
-    radius_nd = jax.lax.stop_gradient(sg.radius[order])
-    alive_nd = radius_nd > 0.0
-
-    tx0 = jnp.clip(jnp.floor((mean_nd[:, 0] - radius_nd) / TILE), 0, tiles_x - 1)
-    tx1 = jnp.clip(jnp.floor((mean_nd[:, 0] + radius_nd) / TILE), 0, tiles_x - 1)
-    ty0 = jnp.clip(jnp.floor((mean_nd[:, 1] - radius_nd) / TILE), 0, tiles_y - 1)
-    ty1 = jnp.clip(jnp.floor((mean_nd[:, 1] + radius_nd) / TILE), 0, tiles_y - 1)
-    tx0 = tx0.astype(jnp.int32)
-    tx1 = tx1.astype(jnp.int32)
-    ty0 = ty0.astype(jnp.int32)
-    ty1 = ty1.astype(jnp.int32)
-    nx = tx1 - tx0 + 1
-    ny = ty1 - ty0 + 1
-    n_rect = nx * ny  # may exceed cap for huge splats (then truncated)
-
-    slot = jnp.arange(cap, dtype=jnp.int32)[None, :]  # (1, cap)
-    slot_x = slot % nx[:, None]
-    slot_y = slot // nx[:, None]
-    tile_x = tx0[:, None] + slot_x
-    tile_y = ty0[:, None] + slot_y
-    valid = (slot < jnp.minimum(n_rect, cap)[:, None]) & alive_nd[:, None]
-    tile_id = jnp.where(valid, tile_y * tiles_x + tile_x, num_tiles)
-
-    rank = jnp.broadcast_to(
-        jnp.arange(g, dtype=jnp.int32)[:, None], (g, cap)
-    )
-    tile_flat = tile_id.reshape(-1)
-    rank_flat = rank.reshape(-1)
-
-    tile_sorted, rank_sorted = jax.lax.sort_key_val(
-        tile_flat, rank_flat, is_stable=True
-    )
-
-    tile_starts = jnp.searchsorted(
-        tile_sorted, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
-    ).astype(jnp.int32)
-
-    attrs_pairs = packed_sorted[rank_sorted]  # differentiable gather
-    valid_pairs = tile_sorted < num_tiles
-
-    # Pad so the kernel's fixed-size chunk DMA never reads out of bounds.
-    n_attr = attrs_pairs.shape[-1]
-    attrs_pairs = jnp.concatenate(
-        [attrs_pairs, jnp.zeros((CHUNK, n_attr), jnp.float32)], axis=0
-    )
-    valid_pairs = jnp.concatenate(
-        [valid_pairs, jnp.zeros((CHUNK,), bool)], axis=0
-    )
-    return attrs_pairs, tile_starts, valid_pairs
+    out = []
+    for i in range(0, len(rows), SORT_GROUP):
+        group = rows[i : i + SORT_GROUP]
+        sorted_ops = jax.lax.sort((key, *group), num_keys=1, is_stable=True)
+        out.extend(sorted_ops[1:])
+    return out
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _composite_pairs(attrs_pairs, tile_starts, valid_pairs, n_ch, tiles_x, tiles_y):
-    out_tiles, _ = composite_pairs_fwd(
-        attrs_pairs,
-        tile_starts,
-        n_ch=n_ch,
-        tiles_x=tiles_x,
-        tiles_y=tiles_y,
-        interpret=_use_interpret(),
-    )
-    return out_tiles
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _sorted_composite(payload, static):
+    """Differentiable core: (rows, key) -> tile outputs.
+
+    payload = (rows tuple, key, radius); static = (n_ch, tiles_x, tiles_y,
+    g, n_attr). The VJP owns both the depth sort (forward) and the
+    gradient unsort (backward), keeping the slow gather/scatter lowering
+    out of the graph entirely.
+    """
+    out, _ = _sorted_composite_fwd(payload, static)
+    return out
 
 
-def _composite_pairs_fwd_rule(attrs_pairs, tile_starts, valid_pairs, n_ch, tiles_x, tiles_y):
-    out_tiles, done = composite_pairs_fwd(
-        attrs_pairs,
-        tile_starts,
-        n_ch=n_ch,
-        tiles_x=tiles_x,
-        tiles_y=tiles_y,
+def _sorted_composite_fwd(payload, static):
+    rows, key, radius = payload
+    n_ch, tiles_x, tiles_y, g, n_attr_static = static
+    g = rows[0].shape[0]
+    g_pad = ((g + CHUNK - 1) // CHUNK) * CHUNK
+    n_attr = len(rows)
+    n_attr_pad = pad_attr_rows(n_attr)
+
+    def pad(x, fill=0.0):
+        return jnp.pad(x, (0, g_pad - g), constant_values=fill)
+
+    key_p = pad(key, jnp.inf)
+    iota = jnp.arange(g_pad, dtype=jnp.int32)
+    perm = jax.lax.sort((key_p, iota), num_keys=1, is_stable=True)[1]
+    sorted_rows = _grouped_sort(key_p, [pad(r) for r in rows])
+    radius_sorted = _grouped_sort(key_p, [pad(radius)])[0]
+
+    attrs_sorted = jnp.zeros((n_attr_pad, g_pad), jnp.float32)
+    attrs_sorted = attrs_sorted.at[:n_attr].set(jnp.stack(sorted_rows))
+
+    n_alive = jnp.sum(jnp.isfinite(key)).astype(jnp.int32)
+
+    # Chunk bboxes in tile coords (reshape + reduce).
+    x_s = sorted_rows[0].reshape(-1, CHUNK)
+    y_s = sorted_rows[1].reshape(-1, CHUNK)
+    r_s = radius_sorted.reshape(-1, CHUNK)
+    live = r_s > 0.0
+    big = 1.0e9
+    x0 = jnp.where(live, x_s - r_s, big).min(axis=1)
+    x1 = jnp.where(live, x_s + r_s, -big).max(axis=1)
+    y0 = jnp.where(live, y_s - r_s, big).min(axis=1)
+    y1 = jnp.where(live, y_s + r_s, -big).max(axis=1)
+    cx0 = jnp.clip(jnp.floor(x0 / TILE), 0, tiles_x - 1).astype(jnp.int32)
+    cx1 = jnp.clip(jnp.floor(x1 / TILE), -1, tiles_x - 1).astype(jnp.int32)
+    cy0 = jnp.clip(jnp.floor(y0 / TILE), 0, tiles_y - 1).astype(jnp.int32)
+    cy1 = jnp.clip(jnp.floor(y1 / TILE), -1, tiles_y - 1).astype(jnp.int32)
+    empty = ~live.any(axis=1)
+    cx1 = jnp.where(empty, -1, cx1)
+    chunk_bbox = (cx0, cx1, cy0, cy1)
+
+    out_tiles, done = composite_scan_fwd(
+        attrs_sorted, n_alive, chunk_bbox,
+        n_ch=n_ch, tiles_x=tiles_x, tiles_y=tiles_y,
         interpret=_use_interpret(),
     )
     t_final = out_tiles[:, n_ch : n_ch + 1, :]
-    return out_tiles, (attrs_pairs, tile_starts, valid_pairs, done, t_final)
+    residuals = (attrs_sorted, perm, n_alive, chunk_bbox, done, t_final)
+    return out_tiles, residuals
 
 
-def _composite_pairs_bwd_rule(n_ch, tiles_x, tiles_y, residuals, g_tiles):
-    attrs_pairs, tile_starts, valid_pairs, done, t_final = residuals
-    d_attrs = composite_pairs_bwd(
-        attrs_pairs,
-        tile_starts,
-        done,
-        g_tiles,
-        t_final,
-        n_ch=n_ch,
-        tiles_x=tiles_x,
-        tiles_y=tiles_y,
+def _sorted_composite_bwd(static, residuals, g_tiles):
+    n_ch, tiles_x, tiles_y, g, n_attr = static
+    attrs_sorted, perm, n_alive, chunk_bbox, done, t_final = residuals
+    d_sorted = composite_scan_bwd(
+        attrs_sorted, n_alive, chunk_bbox, done, g_tiles, t_final,
+        n_ch=n_ch, tiles_x=tiles_x, tiles_y=tiles_y,
         interpret=_use_interpret(),
     )
-    # Sentinel / padding pairs are never written by any tile program; zero
-    # them so the upstream scatter-add stays correct.
-    d_attrs = jnp.where(valid_pairs[:, None], d_attrs, 0.0)
-    return d_attrs, None, None
+    # Unsort: stable-sorting the gradient rows keyed by the recorded
+    # permutation applies the inverse permutation (no gather).
+    d_rows = [d_sorted[i] for i in range(n_attr)]
+    unsorted = _grouped_sort(perm, d_rows)
+    d_rows_orig = tuple(u[:g] for u in unsorted)
+    zeros_g = jnp.zeros((g,), jnp.float32)
+    return ((d_rows_orig, zeros_g, zeros_g),)
 
 
-_composite_pairs.defvjp(_composite_pairs_fwd_rule, _composite_pairs_bwd_rule)
+_sorted_composite.defvjp(_sorted_composite_fwd, _sorted_composite_bwd)
 
 
 def composite_tiled(
     sg: ScreenGaussians,
     image_shape: tuple[int, int],
     background: jnp.ndarray,  # (C,)
-    max_tiles_per_gaussian: int = DEFAULT_MAX_TILES_PER_GAUSSIAN,
+    max_tiles_per_gaussian: int = 0,  # kept for API compat; unused
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Composite one view's screen Gaussians with the tiled Pallas kernel.
 
@@ -195,11 +172,25 @@ def composite_tiled(
     c = sg.num_channels
     n_ch = c + 1  # + expected-depth channel
 
-    attrs_pairs, tile_starts, valid_pairs = bin_gaussians(
-        sg, image_shape, max_tiles_per_gaussian
+    alive = sg.radius > 0.0
+    key = jnp.where(alive, sg.depth, jnp.inf)
+    rows = tuple(
+        [
+            sg.mean2d[:, 0],
+            sg.mean2d[:, 1],
+            sg.conic[:, 0],
+            sg.conic[:, 1],
+            sg.conic[:, 2],
+            sg.opacity,
+        ]
+        + [sg.channels[:, i] for i in range(c)]
+        + [sg.depth]
     )
-    out_tiles = _composite_pairs(
-        attrs_pairs, tile_starts, valid_pairs, n_ch, tiles_x, tiles_y
+    radius = jax.lax.stop_gradient(sg.radius)
+
+    out_tiles = _sorted_composite(
+        (rows, jax.lax.stop_gradient(key), radius),
+        (n_ch, tiles_x, tiles_y, sg.num_gaussians, len(rows)),
     )  # (T, n_ch + 1, PIX)
 
     # Un-tile: (T, row, PIX) -> (row, H, W).

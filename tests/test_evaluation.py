@@ -1,0 +1,191 @@
+"""Tests for evaluation metrics, index generation, and the metric computer."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from latentsplat_tpu.evaluation.evaluation_index_generator import (
+    CO3DEvaluationIndexGeneratorCfg,
+    EvaluationIndexGeneratorCfg,
+    generate_co3d_evaluation_index_for_scene,
+    generate_evaluation_index_for_scene,
+    load_index,
+    save_index,
+)
+from latentsplat_tpu.evaluation.metrics import (
+    DISTSNet,
+    compute_psnr,
+    compute_ssim,
+)
+from latentsplat_tpu.evaluation.types import IndexEntry
+
+
+def test_psnr_known_value():
+    gt = jnp.zeros((1, 8, 8, 3))
+    pred = jnp.full((1, 8, 8, 3), 0.1)
+    # mse = 0.01 -> psnr = 20
+    assert np.allclose(np.asarray(compute_psnr(gt, pred)), 20.0, atol=1e-4)
+
+
+def test_psnr_identical_is_large():
+    x = jnp.asarray(np.random.default_rng(0).uniform(size=(2, 8, 8, 3)))
+    assert float(compute_psnr(x, x).min()) > 100.0
+
+
+def test_ssim_self_is_one_and_monotonic():
+    rng = np.random.default_rng(0)
+    gt = rng.uniform(size=(2, 48, 48, 3)).astype(np.float32)
+    self_ssim = np.asarray(compute_ssim(jnp.asarray(gt), jnp.asarray(gt)))
+    assert np.allclose(self_ssim, 1.0, atol=1e-5)
+    prev = 1.0
+    for noise in (0.05, 0.15, 0.4):
+        pred = np.clip(gt + rng.normal(size=gt.shape) * noise, 0, 1).astype(np.float32)
+        val = float(np.asarray(compute_ssim(jnp.asarray(gt), jnp.asarray(pred))).mean())
+        assert val < prev
+        prev = val
+
+
+def test_dists_self_is_zero():
+    rng = np.random.default_rng(0)
+    gt = jnp.asarray(rng.uniform(size=(1, 32, 32, 3)).astype(np.float32))
+    net = DISTSNet()
+    params = net.init(jax.random.PRNGKey(0), gt, gt)
+    assert abs(float(net.apply(params, gt, gt)[0])) < 1e-4
+    noisy = jnp.clip(gt + 0.3 * jax.random.normal(jax.random.PRNGKey(1), gt.shape), 0, 1)
+    assert float(net.apply(params, gt, noisy)[0]) > 1e-3
+
+
+def _arc_cameras(v, spread=0.6):
+    from latentsplat_tpu.dataset.synthetic import _look_at
+
+    angles = np.linspace(-spread, spread, v)
+    ext = np.stack(
+        [
+            _look_at(
+                np.array([3.0 * np.sin(a), 0.0, -3.0 * np.cos(a) + 4.0], np.float32),
+                np.array([0.0, 0.0, 4.0], np.float32),
+            )
+            for a in angles
+        ]
+    )
+    intr = np.tile(
+        np.asarray([[1.0, 0, 0.5], [0, 1.0, 0.5], [0, 0, 1]], np.float32), (v, 1, 1)
+    )
+    return ext, intr
+
+
+def test_evaluation_index_generator_re10k_style():
+    ext, intr = _arc_cameras(24)
+    cfg = EvaluationIndexGeneratorCfg(
+        num_target_views=3,
+        min_context_overlap=0.2,
+        max_context_overlap=1.0,
+        min_context_distance=4,
+        max_context_distance=16,
+        max_target_distance=6,
+        intra_context=True,
+        output_path="/tmp/eval_index_test",
+    )
+    rng = np.random.default_rng(0)
+    entries = generate_evaluation_index_for_scene(cfg, ext, intr, (16, 16), rng)
+    assert entries, "should find at least one context pair on a smooth arc"
+    for e in entries:
+        left, right = e.context
+        assert right - left >= cfg.min_context_distance
+        assert all(left <= t <= right for t in e.target)  # intra
+        assert list(e.target) == sorted(e.target)
+
+
+def test_evaluation_index_generator_extra_targets():
+    ext, intr = _arc_cameras(24)
+    cfg = EvaluationIndexGeneratorCfg(
+        num_target_views=2,
+        min_context_overlap=0.2,
+        max_context_overlap=1.0,
+        min_context_distance=3,
+        max_context_distance=10,
+        max_target_distance=8,
+        intra_context=False,
+        output_path="/tmp/eval_index_test",
+    )
+    entries = generate_evaluation_index_for_scene(
+        cfg, ext, intr, (16, 16), np.random.default_rng(1)
+    )
+    if entries:
+        left, right = entries[0].context
+        assert all(t < left or t > right for t in entries[0].target)
+
+
+def test_co3d_index_generator_circular():
+    cfg = CO3DEvaluationIndexGeneratorCfg(
+        num_target_views=3,
+        min_context_distance=5,
+        max_context_distance=15,
+        intra_context=True,
+        output_path="/tmp/eval_index_test",
+        num_context_pairs_per_scene=4,
+    )
+    entries = generate_co3d_evaluation_index_for_scene(
+        cfg, 40, np.random.default_rng(0)
+    )
+    assert entries
+    for e in entries:
+        assert all(0 <= t < 40 for t in e.target)
+        assert all(0 <= c < 40 for c in e.context)
+
+
+def test_index_save_load_roundtrip(tmp_path):
+    index = {
+        "scene_a": [IndexEntry(context=(0, 5), target=(1, 2, 3))],
+        "scene_b": [IndexEntry(context=(2, 9), target=(4, 6))],
+    }
+    save_index(index, tmp_path)
+    loaded = load_index(tmp_path / "evaluation_index.json")
+    assert loaded["scene_a"][0].context == (0, 5)
+    assert loaded["scene_b"][0].target == (4, 6)
+
+
+def test_index_load_reference_single_entry_format(tmp_path):
+    # The reference's shipped indices are {scene: {context, target} | null}.
+    path = tmp_path / "evaluation_index.json"
+    path.write_text(
+        json.dumps({"s1": {"context": [0, 3], "target": [1, 2]}, "s2": None})
+    )
+    loaded = load_index(path)
+    assert loaded["s1"][0].context == (0, 3)
+    assert loaded["s2"] is None
+
+
+def test_metric_computer_end_to_end(tmp_path):
+    from latentsplat_tpu.evaluation.metric_computer import (
+        EvaluationCfg,
+        MethodCfg,
+        MetricComputer,
+    )
+    from latentsplat_tpu.misc.image_io import save_image
+
+    rng = np.random.default_rng(0)
+    gt = rng.uniform(size=(2, 32, 32, 3)).astype(np.float32)
+    method_dir = tmp_path / "ours"
+    for i, idx in enumerate((3, 7)):
+        noisy = np.clip(gt[i] + rng.normal(size=gt[i].shape) * 0.05, 0, 1)
+        save_image(noisy, method_dir / "scene_x" / "0_9" / "color" / f"{idx:0>6}.png")
+
+    cfg = EvaluationCfg(methods=[MethodCfg(name="Ours", key="ours", path=method_dir)])
+    computer = MetricComputer(cfg)
+    batch = {
+        "scene": "scene_x",
+        "context": {"index": np.asarray([0, 9])},
+        "target": {"index": np.asarray([3, 7]), "image": gt[None]},
+    }
+    metrics = computer.step(batch, verbose=False)
+    assert metrics is not None
+    assert 20.0 < metrics["psnr_ours"] < 50.0
+    assert 0.5 < metrics["ssim_ours"] <= 1.0
+    computer.save_scores(tmp_path / "scores.json")
+    assert (tmp_path / "scores.json").exists()
+    means = computer.mean_scores()
+    assert "ours" in means["psnr"]

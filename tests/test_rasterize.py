@@ -185,10 +185,10 @@ class TestRenderAPI:
         feature_sh = jax.random.normal(jax.random.fold_in(key, 2), (n, 4, 4)) * 0.3
 
         out = render(
-            EXTRINSICS[None],
-            INTRINSICS[None],
-            jnp.asarray([1.0]),
-            jnp.asarray([100.0]),
+            EXTRINSICS[None, None],
+            INTRINSICS[None, None],
+            jnp.asarray([[1.0]]),
+            jnp.asarray([[100.0]]),
             (H, W),
             jnp.zeros((1, 3)),
             means[None],
@@ -198,10 +198,10 @@ class TestRenderAPI:
             feature_sh[None],
             backend="dense",
         )
-        assert out.color.shape == (1, 3, H, W)
-        assert out.feature.shape == (1, 4, H, W)
-        assert out.mask.shape == (1, H, W)
-        assert out.depth.shape == (1, H, W)
+        assert out.color.shape == (1, 1, 3, H, W)
+        assert out.feature.shape == (1, 1, 4, H, W)
+        assert out.mask.shape == (1, 1, H, W)
+        assert out.depth.shape == (1, 1, H, W)
         assert np.all(np.asarray(out.color) >= 0.0)
         assert np.asarray(out.mask).max() <= 1.0 + 1e-5
 
@@ -214,10 +214,10 @@ class TestRenderAPI:
         def go(s):
             ext = EXTRINSICS.at[:3, 3].set(EXTRINSICS[:3, 3] * s)
             return render(
-                ext[None],
-                INTRINSICS[None],
-                jnp.asarray([1.0 * s]),
-                jnp.asarray([100.0 * s]),
+                ext[None, None],
+                INTRINSICS[None, None],
+                jnp.asarray([[1.0 * s]]),
+                jnp.asarray([[100.0 * s]]),
                 (H, W),
                 jnp.zeros((1, 3)),
                 means[None] * s,
@@ -238,12 +238,12 @@ class TestRenderAPI:
         key = jax.random.PRNGKey(13)
         means, covs, ops, _ = make_gaussians(key, n)
         color_sh = jax.random.normal(jax.random.fold_in(key, 1), (n, 3, 4)) * 0.2
-        b = 2
+        b, v = 2, 2
         out = render(
-            jnp.tile(EXTRINSICS[None], (b, 1, 1)),
-            jnp.tile(INTRINSICS[None], (b, 1, 1)),
-            jnp.ones((b,)),
-            jnp.full((b,), 100.0),
+            jnp.tile(EXTRINSICS[None, None], (b, v, 1, 1)),
+            jnp.tile(INTRINSICS[None, None], (b, v, 1, 1)),
+            jnp.ones((b, v)),
+            jnp.full((b, v), 100.0),
             (H, W),
             jnp.zeros((b, 3)),
             jnp.tile(means[None], (b, 1, 1)),
@@ -252,6 +252,10 @@ class TestRenderAPI:
             jnp.tile(color_sh[None], (b, 1, 1, 1)),
             backend="tiled",
         )
+        # Identical scenes and identical views must agree.
         np.testing.assert_allclose(
             np.asarray(out.color[0]), np.asarray(out.color[1]), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.color[0, 0]), np.asarray(out.color[0, 1]), atol=1e-5
         )
