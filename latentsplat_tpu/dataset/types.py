@@ -56,17 +56,19 @@ class DatasetRE10kCfg(DatasetCfgCommon):
 
 @dataclass
 class DatasetCO3DCfg(DatasetCfgCommon):
+    """Parity with reference src/dataset/dataset_co3d.py:27-38 +
+    config/dataset/co3d_*.yaml."""
+
     name: Literal["co3d"] = "co3d"
-    root: str = "datasets/co3d"
-    category: str = "hydrant"
-    subset: str = "fewview_dev"
-    load_depth: bool = False
-    max_fov: float = 100.0
-    use_near_plane: bool = False
-    near_plane: float = 0.5
-    far_plane: float = 100.0
-    camera_radius: float = 8.0
+    roots: List[str] = field(default_factory=lambda: ["datasets/"])
+    scene: str = "hydrant"                      # CO3D category
+    planes: Optional[List[float]] = None        # fixed [near, far], else radius±8
+    train_split_json: str = "assets/dataset_splits/co3d_hydrant_train.json"
+    eval_split_json: str = "assets/dataset_splits/co3d_hydrant_eval.json"
+    make_baseline_1: bool = True
     augment: bool = True
+    baseline_epsilon: float = 1e-3
+    max_fov: float = 100.0
 
 
 @dataclass

@@ -231,3 +231,61 @@ def render_depth(
     ).color  # (B*V, 1, 3, H, W)
     h, w = image_shape
     return result.mean(axis=2).reshape(b, v, h, w)
+
+
+def render_orthographic(
+    extrinsics: jnp.ndarray,            # (B, 4, 4) cam-to-world
+    width: jnp.ndarray,                 # (B,) world-space view width
+    height: jnp.ndarray,                # (B,) world-space view height
+    near: jnp.ndarray,                  # (B,)
+    far: jnp.ndarray,                   # (B,)
+    image_shape: tuple[int, int],
+    background_color: jnp.ndarray,      # (B, 3)
+    gaussian_means: jnp.ndarray,        # (B, G, 3)
+    gaussian_covariances: jnp.ndarray,  # (B, G, 3, 3)
+    gaussian_opacities: jnp.ndarray,    # (B, G)
+    gaussian_color_sh: Optional[jnp.ndarray] = None,
+    gaussian_feature_sh: Optional[jnp.ndarray] = None,
+    fov_degrees: float = 0.1,
+    use_sh: bool = True,
+    backend: Backend = "dense",
+) -> RenderOutput:
+    """Fake orthographic rendering for visualization.
+
+    Parity with render_cuda_orthographic (cuda_splatting.py:170-292): pull
+    the camera back far enough that the given world-space width subtends a
+    tiny field of view, making the perspective projection effectively
+    orthographic.
+    """
+    fov_x = jnp.deg2rad(fov_degrees)
+    tan_fov_x = jnp.tan(0.5 * fov_x)
+    distance_to_near = (0.5 * width) / tan_fov_x
+
+    # Move the camera back along its look axis.
+    look = extrinsics[..., :3, 2]
+    origins = extrinsics[..., :3, 3] - look * distance_to_near[..., None]
+    ext = extrinsics.at[..., :3, 3].set(origins)
+
+    fx = distance_to_near / width                      # normalized focal
+    fy = distance_to_near / height
+    b = extrinsics.shape[0]
+    intr = jnp.zeros((b, 3, 3), jnp.float32)
+    intr = intr.at[:, 0, 0].set(fx).at[:, 1, 1].set(fy)
+    intr = intr.at[:, 0, 2].set(0.5).at[:, 1, 2].set(0.5).at[:, 2, 2].set(1.0)
+
+    return render(
+        ext[:, None],
+        intr[:, None],
+        (near + distance_to_near)[:, None],
+        (far + distance_to_near)[:, None],
+        image_shape,
+        background_color,
+        gaussian_means,
+        gaussian_covariances,
+        gaussian_opacities,
+        gaussian_color_sh,
+        gaussian_feature_sh,
+        scale_invariant=True,
+        use_sh=use_sh,
+        backend=backend,
+    )
