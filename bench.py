@@ -37,18 +37,28 @@ ITERS = 5
 
 
 def make_scene(key):
-    """Random but plausible scene: gaussians in the frustum of arc cameras."""
+    """Flagship-shaped scene: per-pixel surface gaussians like the encoder
+    emits (2 context views x 256^2 pixels x 3 gaussians/pixel on a smooth
+    depth surface), NOT spatially-random points — random clouds are a
+    worst case no real workload produces (every depth slab spans the whole
+    image, defeating spatial culling)."""
     from latentsplat_tpu.dataset.synthetic import _look_at
 
     ks = jax.random.split(key, 6)
-    means = jnp.stack(
-        [
-            jax.random.uniform(ks[0], (N_GAUSSIANS,), minval=-1.5, maxval=1.5),
-            jax.random.uniform(ks[1], (N_GAUSSIANS,), minval=-1.5, maxval=1.5),
-            jax.random.uniform(ks[2], (N_GAUSSIANS,), minval=2.0, maxval=6.0),
-        ],
-        axis=-1,
+    # A smooth depth surface sampled on a 2-view pixel grid with 3 samples
+    # per pixel (slightly jittered along depth), mimicking the encoder's
+    # per-ray depth buckets (encoder_epipolar.py:163-183).
+    side = 256
+    gpp = N_GAUSSIANS // (2 * side * side)
+    u, v = jnp.meshgrid(
+        jnp.linspace(-1.5, 1.5, side), jnp.linspace(-1.5, 1.5, side)
     )
+    base_depth = 4.0 + 0.8 * jnp.sin(2.0 * u) * jnp.cos(1.5 * v) + 0.3 * u
+    grid = jnp.stack([u, v, base_depth], axis=-1).reshape(-1, 3)
+    means = jnp.tile(grid[None], (2 * gpp, 1, 1)).reshape(-1, 3)
+    jitter = jax.random.normal(ks[0], means.shape) * jnp.asarray([5e-3, 5e-3, 8e-2])
+    means = (means + jitter)[:N_GAUSSIANS]
+
     scale = jax.random.uniform(ks[3], (N_GAUSSIANS, 3), minval=5e-3, maxval=2e-2)
     covariances = jnp.eye(3)[None] * (scale**2)[:, :, None]  # diag(scale^2)
     opacities = jax.random.uniform(ks[4], (N_GAUSSIANS,), minval=0.3, maxval=1.0)

@@ -39,3 +39,31 @@ def build_covariance(scale: jnp.ndarray, rotation_xyzw: jnp.ndarray) -> jnp.ndar
     # R @ diag(s^2) @ R^T without materializing the diagonal matrix.
     rs = rotation * (scale**2)[..., None, :]
     return rs @ jnp.swapaxes(rotation, -1, -2)
+
+
+def covariance_to_scale_rotation(
+    covariances: jnp.ndarray,  # (..., 3, 3)
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Inverse of build_covariance: Sigma = R S S R^T -> (scales, quat_xyzw).
+
+    Used for PLY export of predicted Gaussians (the Inria viewer stores
+    scale + rotation, not covariance). Eigendecomposition; the sign/order
+    ambiguity is irrelevant for rendering.
+    """
+    eigvals, eigvecs = jnp.linalg.eigh(covariances)
+    scales = jnp.sqrt(jnp.clip(eigvals, 1e-20, None))
+    # Ensure right-handed rotations (det +1) by flipping the last axis.
+    det = jnp.linalg.det(eigvecs)
+    eigvecs = eigvecs.at[..., :, 2].multiply(jnp.sign(det)[..., None])
+
+    # Rotation matrix -> quaternion (xyzw), numerically robust branch-free
+    # variant evaluated in float64-free jnp.
+    m = eigvecs
+    t = m[..., 0, 0] + m[..., 1, 1] + m[..., 2, 2]
+    qw = jnp.sqrt(jnp.clip(1.0 + t, 1e-12, None)) / 2.0
+    qx = (m[..., 2, 1] - m[..., 1, 2]) / jnp.clip(4.0 * qw, 1e-8, None)
+    qy = (m[..., 0, 2] - m[..., 2, 0]) / jnp.clip(4.0 * qw, 1e-8, None)
+    qz = (m[..., 1, 0] - m[..., 0, 1]) / jnp.clip(4.0 * qw, 1e-8, None)
+    quat = jnp.stack([qx, qy, qz, qw], axis=-1)
+    quat = quat / jnp.linalg.norm(quat, axis=-1, keepdims=True)
+    return scales, quat

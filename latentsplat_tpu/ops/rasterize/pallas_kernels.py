@@ -2,22 +2,23 @@
 
 TPU-native equivalent of the reference's CUDA tile rasterizer forward and
 backward (external `latent-gaussian-rasterization`, characterized at
-src/model/decoder/cuda_splatting.py:124-158), redesigned around what TPUs
-are actually good and bad at:
+src/model/decoder/cuda_splatting.py:124-158), shaped by measured TPU
+constraints rather than a CUDA translation:
 
-  * The CUDA pipeline duplicates gaussians into (tile, depth) pairs, radix
-    sorts 3.5M pairs, and builds per-tile ranges. On TPU, XLA gathers /
-    scatters / cumsums over millions of rows serialize (~3us/row measured),
-    so the pair expansion itself is the bottleneck (14.5 s/view at the
-    flagship scale). Instead, gaussians are depth-sorted ONCE per view
-    (grouped stable `lax.sort` calls — the only fast reordering primitive
-    on TPU) and every tile program scans the SAME depth-ordered attribute
-    matrix in CHUNK=128 column chunks, culling whole chunks with a
-    precomputed per-chunk tile bounding box held in SMEM. No pairs, no
-    scatter, no per-tile segments.
-  * Attributes are stored TRANSPOSED (n_attr_pad, G_pad): TPU DMA requires
-    the minor dimension of a slice to be lane-aligned, and chunk starts
-    i*CHUNK are provably 128-divisible.
+  * XLA gathers / scatters / cumsums over millions of rows serialize
+    (~3 us/row measured on v5e) — but `lax.sort` streams at ~60 ms for
+    3.5M elements with 7 payload operands riding the sort network. So the
+    CUDA duplicate-sort-bin pipeline is reproduced with SORTS ONLY: pairs
+    are generated gaussian-major (pure broadcasting), stable-sorted once by
+    a composite int32 key (tile << 19 | depth_rank — exact, since
+    G < 2^19), and per-tile segment bounds come from searchsorted. No
+    scatter anywhere; the backward returns pair gradients to gaussian-major
+    order with the same sort trick (stable sort by the carried pair index)
+    and reduces over the duplication axis with a reshape-sum.
+  * Attributes are stored TRANSPOSED (n_attr_pad, n_pairs): TPU DMA slices
+    need a lane-aligned minor dimension. Tile segments are NOT aligned;
+    each tile reads CHUNK-aligned windows covering [start, end) and masks
+    rows outside its segment.
   * The (n_attr_pad, CHUNK) chunk is transposed to pair-major via an
     identity matmul on the MXU (always lowers; narrow-matrix relayouts are
     version-dependent).
@@ -25,15 +26,16 @@ are actually good and bad at:
     strictly-lower-triangular matmul on the MXU; channel accumulation is
     one [C,K]x[K,P] matmul per chunk, also on the MXU.
   * Early exit per tile when every pixel saturates (log T < log 1e-4),
-    mirroring the CUDA kernel's T < 0.0001 cutoff. The last processed chunk
-    index is emitted (as an extra output row — TPU pallas rejects narrow
+    mirroring the CUDA kernel's T < 0.0001 cutoff. The number of processed
+    chunks is emitted (as an extra output row — TPU pallas rejects narrow
     SMEM output blocks) so the backward replays exactly the same prefix.
-  * Backward re-traverses the same chunks in reverse (same bbox skips),
-    reconstructing transmittance from the saved final value in log space
-    (stable because alpha <= 0.99). Chunks are shared between tiles, so
-    gradients ACCUMULATE into d_attrs via read-modify-write; grid steps on
-    a TPU core run sequentially ("arbitrary" dimension semantics), making
-    the RMW race-free — the TPU answer to CUDA's atomicAdd.
+  * Backward re-traverses the same chunks in reverse, reconstructing
+    transmittance from the saved final value in log space (stable because
+    alpha <= 0.99). Adjacent tiles' chunk windows can overlap (unaligned
+    segments), so gradients ACCUMULATE into d_attrs via read-modify-write;
+    grid steps on a TPU core run sequentially ("arbitrary" dimension
+    semantics), making the RMW race-free — the TPU answer to CUDA's
+    atomicAdd.
 
 Attribute row layout (n_attr = 6 + n_ch where n_ch = payload channels + 1
 expected-depth channel): [x, y, conic_a, conic_b, conic_c, opacity,
@@ -52,7 +54,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 TILE = 16                      # pixels per tile side
 PIX = TILE * TILE              # pixels per tile (lane axis)
-CHUNK = 128                    # gaussians composited per inner step
+CHUNK = 256                    # pairs composited per inner step
 ALPHA_THRESHOLD = 1.0 / 255.0
 ALPHA_CLAMP = 0.99
 LOG_SATURATION = math.log(1.0e-4)
@@ -102,12 +104,13 @@ def _transpose_mxu(m: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def _chunk_alpha(attrs, px, py, chunk_offset, n_alive):
+def _chunk_alpha(attrs, px, py, chunk_offset, seg_start, seg_end):
     """Alpha [CHUNK, PIX] of one attribute chunk, with validity masking.
 
     attrs: (CHUNK, n_attr_pad) pair-major VMEM values. chunk_offset: global
-    index of this chunk's first gaussian; padding rows (index >= n_alive)
-    are masked out.
+    index of this chunk's first pair; rows outside [seg_start, seg_end) —
+    the tile's segment — are masked (chunks are CHUNK-aligned windows over
+    an unaligned segment).
     Returns (alpha, power, dx, dy, exp_power).
     """
     x = attrs[:, 0:1]
@@ -126,17 +129,9 @@ def _chunk_alpha(attrs, px, py, chunk_offset, n_alive):
     alpha = jnp.where(alpha < ALPHA_THRESHOLD, 0.0, alpha)
 
     idx = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0) + chunk_offset
-    alpha = jnp.where(idx < n_alive, alpha, 0.0)
+    in_segment = jnp.logical_and(idx >= seg_start, idx < seg_end)
+    alpha = jnp.where(in_segment, alpha, 0.0)
     return alpha, power, dx, dy, exp_power
-
-
-def _tile_hits_chunk(t, tiles_x, cx0, cx1, cy0, cy1, i):
-    """Scalar test: does tile t's rect intersect chunk i's bbox?"""
-    ty = t // tiles_x
-    tx = t % tiles_x
-    return (
-        (cx0[i] <= tx) & (tx <= cx1[i]) & (cy0[i] <= ty) & (ty <= cy1[i])
-    )
 
 
 # ---------------------------------------------------------------------------
@@ -145,22 +140,23 @@ def _tile_hits_chunk(t, tiles_x, cx0, cx1, cy0, cy1, i):
 
 
 def _fwd_kernel(
-    meta,            # scalar prefetch: (1,) int32 = [n_alive]
-    cx0, cx1, cy0, cy1,  # scalar prefetch: (n_chunks,) int32 chunk tile-bboxes
-    attrs,           # ANY/HBM: (n_attr_pad, G_pad) f32, depth-sorted cols
+    tile_starts,     # scalar prefetch: (num_tiles + 1,) int32 (unaligned)
+    attrs,           # ANY/HBM: (n_attr_pad, n_pairs_pad) f32, tile-sorted
     out_ref,         # VMEM block: (1, n_ch + 2, PIX) f32
                      #   rows [0, n_ch) = channels, n_ch = T_final,
-                     #   n_ch + 1 = last processed chunk bound (f32)
+                     #   n_ch + 1 = processed-chunk count (broadcast f32)
     attr_buf,        # VMEM scratch: (n_attr_pad, CHUNK) f32
     lt_ref,          # VMEM scratch: (1, PIX) f32 (log transmittance)
     sem,             # DMA semaphore
     *,
     n_ch: int,
     tiles_x: int,
-    n_chunks: int,
 ):
     t = pl.program_id(0)
-    n_alive = meta[0]
+    start = tile_starts[t]
+    end = tile_starts[t + 1]
+    start_chunk = start // CHUNK
+    n_chunks = (end + CHUNK - 1) // CHUNK - start_chunk
 
     px, py = _pixel_coords(t, tiles_x)
 
@@ -170,36 +166,33 @@ def _fwd_kernel(
     lower = _strict_lower(CHUNK)
 
     def body(state):
-        i, ltmax = state
+        i, _ = state
+        pos = (start_chunk + i) * CHUNK  # provably lane-aligned
+        copy = pltpu.make_async_copy(
+            attrs.at[:, pl.ds(pos, CHUNK)], attr_buf, sem
+        )
+        copy.start()
+        copy.wait()
+        a = _transpose_mxu(attr_buf[:])  # (CHUNK, n_attr_pad)
 
-        hit = _tile_hits_chunk(t, tiles_x, cx0, cx1, cy0, cy1, i)
+        alpha, _, _, _, _ = _chunk_alpha(a, px, py, pos, start, end)
 
-        @pl.when(hit)
-        def _():
-            copy = pltpu.make_async_copy(
-                attrs.at[:, pl.ds(i * CHUNK, CHUNK)], attr_buf, sem
-            )
-            copy.start()
-            copy.wait()
-            a = _transpose_mxu(attr_buf[:])  # (CHUNK, n_attr_pad)
+        la = jnp.log1p(-alpha)                      # (CHUNK, PIX), <= 0
+        excl = jnp.dot(lower, la, preferred_element_type=jnp.float32)
+        lt = lt_ref[:]                              # (1, PIX)
+        weight = alpha * jnp.exp(lt + excl)         # (CHUNK, PIX)
 
-            alpha, _, _, _, _ = _chunk_alpha(a, px, py, i * CHUNK, n_alive)
+        chans = a[:, 6 : 6 + n_ch]                  # (CHUNK, n_ch)
+        acc = jax.lax.dot_general(
+            chans, weight,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                            # (n_ch, PIX)
+        out_ref[0, 0:n_ch, :] += acc
 
-            la = jnp.log1p(-alpha)                      # (CHUNK, PIX), <= 0
-            excl = jnp.dot(lower, la, preferred_element_type=jnp.float32)
-            lt = lt_ref[:]                              # (1, PIX)
-            weight = alpha * jnp.exp(lt + excl)         # (CHUNK, PIX)
-
-            chans = a[:, 6 : 6 + n_ch]                  # (CHUNK, n_ch)
-            acc = jax.lax.dot_general(
-                chans, weight,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                            # (n_ch, PIX)
-            out_ref[0, 0:n_ch, :] += acc
-            lt_ref[:] = lt + jnp.sum(la, axis=0, keepdims=True)
-
-        return i + 1, jnp.max(lt_ref[:])
+        lt_new = lt + jnp.sum(la, axis=0, keepdims=True)
+        lt_ref[:] = lt_new
+        return i + 1, jnp.max(lt_new)
 
     def cond(state):
         i, ltmax = state
@@ -211,10 +204,9 @@ def _fwd_kernel(
     out_ref[0, n_ch + 1, :] = jnp.full((PIX,), final_i.astype(jnp.float32))
 
 
-def composite_scan_fwd(
-    attrs_sorted: jnp.ndarray,   # (n_attr_pad, G_pad) f32, depth-sorted cols
-    n_alive: jnp.ndarray,        # () int32
-    chunk_bbox: tuple,           # 4x (n_chunks,) int32: cx0, cx1, cy0, cy1
+def composite_pairs_fwd(
+    attrs_pairs: jnp.ndarray,   # (n_attr_pad, n_pairs_pad) f32, tile-sorted
+    tile_starts: jnp.ndarray,   # (num_tiles + 1,) int32
     *,
     n_ch: int,
     tiles_x: int,
@@ -223,10 +215,9 @@ def composite_scan_fwd(
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Run the forward kernel. Returns (out_tiles [T, n_ch+1, PIX], done [T])."""
     num_tiles = tiles_x * tiles_y
-    n_attr = attrs_sorted.shape[0]
-    n_chunks = attrs_sorted.shape[1] // CHUNK
+    n_attr = attrs_pairs.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=1,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, n_ch + 2, PIX), lambda t, *_: (t, 0, 0),
@@ -237,9 +228,7 @@ def composite_scan_fwd(
             pltpu.SemaphoreType.DMA,
         ],
     )
-    kernel = functools.partial(
-        _fwd_kernel, n_ch=n_ch, tiles_x=tiles_x, n_chunks=n_chunks
-    )
+    kernel = functools.partial(_fwd_kernel, n_ch=n_ch, tiles_x=tiles_x)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -248,11 +237,7 @@ def composite_scan_fwd(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)
         ),
-    )(
-        n_alive.reshape(1).astype(jnp.int32),
-        *chunk_bbox,
-        attrs_sorted,
-    )
+    )(tile_starts, attrs_pairs)
     out_tiles = out[:, : n_ch + 1]
     done = out[:, n_ch + 1, 0].astype(jnp.int32)
     return out_tiles, done
@@ -264,15 +249,16 @@ def composite_scan_fwd(
 
 
 def _bwd_kernel(
-    meta,            # scalar prefetch: (1,) int32 = [n_alive]
-    cx0, cx1, cy0, cy1,  # scalar prefetch: (n_chunks,) int32
+    tile_starts,     # scalar prefetch: (num_tiles + 1,) int32
     done_s,          # scalar prefetch: (num_tiles,) int32
-    attrs,           # ANY/HBM: (n_attr_pad, G_pad) f32
+    attrs,           # ANY/HBM: (n_attr_pad, n_pairs_pad) f32
     g_tiles,         # VMEM block: (1, n_ch + 1, PIX) f32 cotangents
     t_final,         # VMEM block: (1, 1, PIX) f32 final transmittance
-    d_attrs,         # ANY/HBM out: (n_attr_pad, G_pad) f32, ACCUMULATED
+    d_attrs,         # ANY/HBM out: (n_attr_pad, n_pairs_pad) f32, ACCUMULATED
                      #   (program 0 zero-fills it first; the grid is
-                     #   sequential so later programs see the memset)
+                     #   sequential so later programs see the memset, and
+                     #   RMW accumulation makes overlapping chunk windows of
+                     #   adjacent tiles race-free)
     attr_buf,        # VMEM scratch: (n_attr_pad, CHUNK) f32
     grad_tmp,        # VMEM scratch: (CHUNK, n_attr_pad) f32 (pair-major)
     acc_buf,         # VMEM scratch: (n_attr_pad, CHUNK) f32 (RMW accumulator)
@@ -284,10 +270,12 @@ def _bwd_kernel(
     *,
     n_ch: int,
     tiles_x: int,
-    n_chunks: int,
+    n_chunks_total: int,
 ):
     t = pl.program_id(0)
-    n_alive = meta[0]
+    start = tile_starts[t]
+    end = tile_starts[t + 1]
+    start_chunk = start // CHUNK
     done = done_s[t]
 
     px, py = _pixel_coords(t, tiles_x)
@@ -317,118 +305,109 @@ def _bwd_kernel(
             store.wait()
             return 0
 
-        jax.lax.fori_loop(0, n_chunks, zero_chunk, 0)
+        jax.lax.fori_loop(0, n_chunks_total, zero_chunk, 0)
 
     lower = _strict_lower(CHUNK)
     upper = _strict_upper(CHUNK)
 
     def body(state):
         (i,) = state
-        hit = _tile_hits_chunk(t, tiles_x, cx0, cx1, cy0, cy1, i)
+        pos = (start_chunk + i) * CHUNK
+        load = pltpu.make_async_copy(
+            attrs.at[:, pl.ds(pos, CHUNK)], attr_buf, sem_in
+        )
+        load.start()
+        # Overlap: fetch the current gradient accumulator chunk.
+        acc_load = pltpu.make_async_copy(
+            d_attrs.at[:, pl.ds(pos, CHUNK)], acc_buf, sem_acc
+        )
+        acc_load.start()
+        load.wait()
 
-        @pl.when(hit)
-        def _():
-            load = pltpu.make_async_copy(
-                attrs.at[:, pl.ds(i * CHUNK, CHUNK)], attr_buf, sem_in
-            )
-            load.start()
-            # Overlap: fetch the current gradient accumulator chunk.
-            acc_load = pltpu.make_async_copy(
-                d_attrs.at[:, pl.ds(i * CHUNK, CHUNK)], acc_buf, sem_acc
-            )
-            acc_load.start()
-            load.wait()
+        a = _transpose_mxu(attr_buf[:])  # (CHUNK, n_attr_pad)
+        alpha, _, dx, dy, exp_power = _chunk_alpha(a, px, py, pos, start, end)
+        op = a[:, 5:6]
+        ca = a[:, 2:3]
+        cb = a[:, 3:4]
+        cc = a[:, 4:5]
 
-            a = _transpose_mxu(attr_buf[:])  # (CHUNK, n_attr_pad)
-            alpha, _, dx, dy, exp_power = _chunk_alpha(
-                a, px, py, i * CHUNK, n_alive
-            )
-            op = a[:, 5:6]
-            ca = a[:, 2:3]
-            cb = a[:, 3:4]
-            cc = a[:, 4:5]
+        la = jnp.log1p(-alpha)
+        total = jnp.sum(la, axis=0, keepdims=True)     # (1, PIX)
+        lt_out = lt_ref[:]
+        lt_in = lt_out - total
+        excl = jnp.dot(lower, la, preferred_element_type=jnp.float32)
+        t_i = jnp.exp(lt_in + excl)                    # (CHUNK, PIX)
+        w = alpha * t_i
 
-            la = jnp.log1p(-alpha)
-            total = jnp.sum(la, axis=0, keepdims=True)     # (1, PIX)
-            lt_out = lt_ref[:]
-            lt_in = lt_out - total
-            excl = jnp.dot(lower, la, preferred_element_type=jnp.float32)
-            t_i = jnp.exp(lt_in + excl)                    # (CHUNK, PIX)
-            w = alpha * t_i
+        chans = a[:, 6 : 6 + n_ch]                     # (CHUNK, n_ch)
+        cg = jnp.dot(chans, g_ch, preferred_element_type=jnp.float32)
+        contrib = w * cg                               # (CHUNK, PIX)
+        suffix = jnp.dot(upper, contrib, preferred_element_type=jnp.float32)
+        s_full = suffix + s_ref[:]
 
-            chans = a[:, 6 : 6 + n_ch]                     # (CHUNK, n_ch)
-            cg = jnp.dot(chans, g_ch, preferred_element_type=jnp.float32)
-            contrib = w * cg                               # (CHUNK, PIX)
-            suffix = jnp.dot(upper, contrib, preferred_element_type=jnp.float32)
-            s_full = suffix + s_ref[:]
+        d_alpha = cg * t_i - s_full / (1.0 - alpha)
 
-            d_alpha = cg * t_i - s_full / (1.0 - alpha)
+        live = (alpha > 0.0).astype(jnp.float32)
+        unclamped = (op * exp_power < ALPHA_CLAMP).astype(jnp.float32)
+        m = live * unclamped
 
-            live = (alpha > 0.0).astype(jnp.float32)
-            unclamped = (op * exp_power < ALPHA_CLAMP).astype(jnp.float32)
-            m = live * unclamped
+        d_op_px = d_alpha * exp_power * m              # (CHUNK, PIX)
+        d_pow = d_alpha * alpha * m
 
-            d_op_px = d_alpha * exp_power * m              # (CHUNK, PIX)
-            d_pow = d_alpha * alpha * m
+        d_op = jnp.sum(d_op_px, axis=1, keepdims=True)             # (CHUNK, 1)
+        d_ca = jnp.sum(-0.5 * dx * dx * d_pow, axis=1, keepdims=True)
+        d_cb = jnp.sum(-dx * dy * d_pow, axis=1, keepdims=True)
+        d_cc = jnp.sum(-0.5 * dy * dy * d_pow, axis=1, keepdims=True)
+        d_mx = jnp.sum((ca * dx + cb * dy) * d_pow, axis=1, keepdims=True)
+        d_my = jnp.sum((cc * dy + cb * dx) * d_pow, axis=1, keepdims=True)
 
-            d_op = jnp.sum(d_op_px, axis=1, keepdims=True)             # (CHUNK, 1)
-            d_ca = jnp.sum(-0.5 * dx * dx * d_pow, axis=1, keepdims=True)
-            d_cb = jnp.sum(-dx * dy * d_pow, axis=1, keepdims=True)
-            d_cc = jnp.sum(-0.5 * dy * dy * d_pow, axis=1, keepdims=True)
-            d_mx = jnp.sum((ca * dx + cb * dy) * d_pow, axis=1, keepdims=True)
-            d_my = jnp.sum((cc * dy + cb * dx) * d_pow, axis=1, keepdims=True)
+        d_chans = jax.lax.dot_general(
+            w, g_ch,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                              # (CHUNK, n_ch)
 
-            d_chans = jax.lax.dot_general(
-                w, g_ch,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                              # (CHUNK, n_ch)
+        grad_tmp[:, 0:1] = d_mx
+        grad_tmp[:, 1:2] = d_my
+        grad_tmp[:, 2:3] = d_ca
+        grad_tmp[:, 3:4] = d_cb
+        grad_tmp[:, 4:5] = d_cc
+        grad_tmp[:, 5:6] = d_op
+        grad_tmp[:, 6 : 6 + n_ch] = d_chans
 
-            grad_tmp[:, 0:1] = d_mx
-            grad_tmp[:, 1:2] = d_my
-            grad_tmp[:, 2:3] = d_ca
-            grad_tmp[:, 3:4] = d_cb
-            grad_tmp[:, 4:5] = d_cc
-            grad_tmp[:, 5:6] = d_op
-            grad_tmp[:, 6 : 6 + n_ch] = d_chans
+        acc_load.wait()
+        acc_buf[:] = acc_buf[:] + _transpose_mxu(grad_tmp[:])
+        store = pltpu.make_async_copy(
+            acc_buf, d_attrs.at[:, pl.ds(pos, CHUNK)], sem_out
+        )
+        store.start()
+        store.wait()
 
-            acc_load.wait()
-            # Accumulate (chunks are shared between tiles; grid steps run
-            # sequentially, so read-modify-write is race-free).
-            acc_buf[:] = acc_buf[:] + _transpose_mxu(grad_tmp[:])
-            store = pltpu.make_async_copy(
-                acc_buf, d_attrs.at[:, pl.ds(i * CHUNK, CHUNK)], sem_out
-            )
-            store.start()
-            store.wait()
-
-            s_ref[:] = s_ref[:] + jnp.sum(contrib, axis=0, keepdims=True)
-            lt_ref[:] = lt_in
-
+        s_ref[:] = s_ref[:] + jnp.sum(contrib, axis=0, keepdims=True)
+        lt_ref[:] = lt_in
         return (i - 1,)
 
     jax.lax.while_loop(lambda s: s[0] >= 0, body, (done - 1,))
 
 
-def composite_scan_bwd(
-    attrs_sorted: jnp.ndarray,   # (n_attr_pad, G_pad) f32
-    n_alive: jnp.ndarray,        # () int32
-    chunk_bbox: tuple,           # 4x (n_chunks,) int32
-    done: jnp.ndarray,           # (num_tiles,) int32
-    g_tiles: jnp.ndarray,        # (T, n_ch + 1, PIX)
-    t_final: jnp.ndarray,        # (T, 1, PIX)
+def composite_pairs_bwd(
+    attrs_pairs: jnp.ndarray,   # (n_attr_pad, n_pairs_pad) f32
+    tile_starts: jnp.ndarray,   # (num_tiles + 1,) int32
+    done: jnp.ndarray,          # (num_tiles,) int32
+    g_tiles: jnp.ndarray,       # (T, n_ch + 1, PIX)
+    t_final: jnp.ndarray,       # (T, 1, PIX)
     *,
     n_ch: int,
     tiles_x: int,
     tiles_y: int,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Run the backward kernel. Returns accumulated d_attrs_sorted."""
+    """Run the backward kernel. Returns accumulated d_attrs_pairs."""
     num_tiles = tiles_x * tiles_y
-    n_attr = attrs_sorted.shape[0]
-    n_chunks = attrs_sorted.shape[1] // CHUNK
+    n_attr = attrs_pairs.shape[0]
+    n_chunks_total = attrs_pairs.shape[1] // CHUNK
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -450,23 +429,16 @@ def composite_scan_bwd(
         ],
     )
     kernel = functools.partial(
-        _bwd_kernel, n_ch=n_ch, tiles_x=tiles_x, n_chunks=n_chunks
+        _bwd_kernel, n_ch=n_ch, tiles_x=tiles_x, n_chunks_total=n_chunks_total
     )
     d_attrs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(attrs_sorted.shape, jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(attrs_pairs.shape, jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             has_side_effects=True,
         ),
-    )(
-        n_alive.reshape(1).astype(jnp.int32),
-        *chunk_bbox,
-        done,
-        attrs_sorted,
-        g_tiles,
-        t_final,
-    )
+    )(tile_starts, done, attrs_pairs, g_tiles, t_final)
     return d_attrs

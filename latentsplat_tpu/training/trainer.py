@@ -302,7 +302,77 @@ class Trainer:
         if out:
             self.logger.log_scalars(out, step)
             print("  val:", {k: round(v, 3) for k, v in out.items()})
+
+        if self.cfg.train.video_wobble or self.cfg.train.video_interpolation:
+            loader = self._loader("val", 1, repeat=False)
+            batch = strip_batch(next(loader))
+            if self.cfg.train.video_wobble:
+                self.render_video(params_gen, batch, "wobble", step)
+            if self.cfg.train.video_interpolation:
+                self.render_video(params_gen, batch, "interpolation", step)
         return out
+
+    # -- validation videos (ref: model_wrapper.py:736-934) ----------------------
+    def render_video(
+        self,
+        params_gen,
+        batch: dict,
+        mode: str,
+        step: int,
+        num_frames: int = 30,
+        loop_reverse: bool = True,
+    ) -> None:
+        """Render a camera trajectory video (wobble or pose interpolation)
+        through the full probabilistic generator path."""
+        from ..visualization.camera_trajectory import (
+            generate_wobble,
+            interpolate_extrinsics,
+            interpolate_intrinsics,
+        )
+        from ..visualization.color_map import apply_depth_color_map
+        from ..visualization.layout import vcat
+
+        ctx = jax.tree_util.tree_map(np.asarray, batch["context"])
+        t = np.linspace(0, 1, num_frames, dtype=np.float32)
+        t = (np.cos(np.pi * (t + 1)) + 1) / 2  # smooth ease-in/out
+
+        e0, e1 = ctx["extrinsics"][0, 0], ctx["extrinsics"][0, -1]
+        i0, i1 = ctx["intrinsics"][0, 0], ctx["intrinsics"][0, -1]
+        if mode == "wobble":
+            delta = np.linalg.norm(e0[:3, 3] - e1[:3, 3])
+            extrinsics = generate_wobble(e0, np.asarray(delta * 0.25), t)
+            intrinsics = np.tile(i0[None], (num_frames, 1, 1))
+        else:
+            extrinsics = interpolate_extrinsics(e0, e1, t)
+            intrinsics = interpolate_intrinsics(i0, i1, t)
+
+        video_batch = {
+            "context": batch["context"],
+            "target": {
+                "extrinsics": extrinsics[None],
+                "intrinsics": intrinsics[None],
+                "image": np.zeros(
+                    (1, num_frames, *np.asarray(ctx["image"]).shape[2:]), np.float32
+                ),
+                "near": np.tile(ctx["near"][:, :1], (1, num_frames)),
+                "far": np.tile(ctx["far"][:, :1], (1, num_frames)),
+            },
+        }
+        out = self._render_full(
+            params_gen,
+            jax.tree_util.tree_map(jnp.asarray, video_batch),
+            jax.random.PRNGKey(self.cfg.seed + 4),
+            False,
+        )
+        images = np.asarray(out["image"][0])
+        depths = np.asarray(out["depth"][0])
+        frames = [
+            vcat(images[v], apply_depth_color_map(depths[v]), gap=2)
+            for v in range(num_frames)
+        ]
+        if loop_reverse:
+            frames = frames + frames[-2:0:-1]
+        self.logger.log_video(f"video/{mode}", frames, step)
 
     # -- test ---------------------------------------------------------------------
     def test(self, state_or_params, name: str = "latentsplat_tpu") -> None:
