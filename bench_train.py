@@ -1,0 +1,104 @@
+"""Train-step benchmark: full flagship VAE-GAN step time on one TPU chip.
+
+Measures the fused generator+discriminator train step (encoder -> splat ->
+VAE decode -> losses incl. GAN + adaptive weighting -> both optimizer
+updates) at a configurable scale. The reference trains at 256x256 with
+per-GPU batch 2 on A100-40GB (README.md:63-69); run with --full for that
+shape, default is 128px batch 1 (fits comfortably and compiles faster).
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+ITERS = 4
+
+
+def main() -> None:
+    full = "--full" in sys.argv
+    size = 256 if full else 128
+    batch = 2 if full else 1
+
+    from __graft_entry__ import _arc_batch, _flagship_model
+    from latentsplat_tpu.loss.losses import get_loss_group
+    from latentsplat_tpu.training.step import (
+        GROUP_NAMES,
+        TrainState,
+        build_optimizers,
+        make_step_flags,
+        make_train_step,
+    )
+
+    dev = jax.devices()[0]
+    print(f"train-step bench on {dev.platform}:{dev.device_kind} "
+          f"({size}px, batch {batch})", file=sys.stderr)
+
+    overrides = [
+        f"dataset.image_shape=[{size},{size}]",
+        # Activate the full objective from step 0 (the reference's late-
+        # schedule losses are the expensive ones).
+        "loss.target_render_image.nll=[{name: mse, weight: 10}, {name: lpips, weight: 0.5}]",
+        "loss.target_combined.nll=[{name: l1}, {name: lpips}]",
+        "loss.target_combined.generator={name: generator, weight: 0.5}",
+        "loss.target_combined.discriminator={name: discriminator, loss: hinge}",
+    ]
+    cfg, model = _flagship_model(overrides)
+    losses = {n: get_loss_group(n, getattr(cfg.loss, n)) for n in GROUP_NAMES}
+
+    batch_data = _arc_batch(b=batch, v_ctx=2, v_tgt=4, h=size, w=size)
+    params = model.init_params(jax.random.PRNGKey(0), batch_data)
+    opt_gen, opt_disc = build_optimizers(model, cfg.optimizer, batch)
+    state = TrainState(
+        params_gen=params["generator"],
+        params_disc=params.get("discriminator"),
+        lpips_params=params["lpips"],
+        opt_gen=opt_gen.init(params["generator"]),
+        opt_disc=opt_disc.init(params["discriminator"]) if opt_disc else None,
+        step=jnp.zeros((), jnp.int32),
+    )
+    flags = make_step_flags(losses, 0)
+    assert flags.disc and flags.gen_gan
+    step_fn = jax.jit(
+        make_train_step(model, losses, opt_gen, opt_disc), static_argnums=(3,)
+    )
+
+    t0 = time.perf_counter()
+    state, logs = step_fn(state, batch_data, jax.random.PRNGKey(1), flags)
+    total = float(logs["generator/total"])  # forces completion
+    print(f"compile+first step: {time.perf_counter() - t0:.1f}s "
+          f"(generator/total={total:.3f})", file=sys.stderr)
+    assert np.isfinite(total)
+
+    times = []
+    for i in range(ITERS):
+        t0 = time.perf_counter()
+        state, logs = step_fn(
+            state, batch_data, jax.random.PRNGKey(2 + i), flags
+        )
+        float(logs["generator/total"])
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    sec = times[len(times) // 2]
+    print(f"step times: {['%.2f' % t for t in times]}", file=sys.stderr)
+    print(
+        json.dumps(
+            {
+                "metric": f"train_step_{size}px_batch{batch}_vae_gan",
+                "value": round(1.0 / sec, 3),
+                "unit": "steps/sec/chip",
+                "vs_baseline": round((1.0 / sec) / 1.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

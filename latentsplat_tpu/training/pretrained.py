@@ -346,3 +346,189 @@ def load_pretrained_dino(
     backbone["dino"] = merge_params(backbone["dino"], trunk)
     encoder["backbone"] = backbone
     return {**params_gen, "encoder": encoder}
+
+
+# ---------------------------------------------------------------------------
+# Full latentSplat checkpoint (Lightning .ckpt from the official release)
+# ---------------------------------------------------------------------------
+
+
+def _srt_transformer(sd, prefix: str, num_layers: int, ff: str) -> dict:
+    """Reference SRT Transformer (src/model/transformer/transformer.py:32-71):
+    layers.{i}.0 = PreNorm(Attention), layers.{i}.1 = PreNorm(feed-forward).
+    `ff` selects the feed-forward conversion: "mlp" (feed_forward.py net
+    Sequential) or "conv" (the epipolar ConvFeedForward)."""
+    out = {}
+    for i in range(num_layers):
+        attn = f"{prefix}.layers.{i}.0"
+        out[f"norm_attn_{i}"] = _norm(sd, f"{attn}.norm")
+        a = {}
+        if f"{attn}.fn.to_qkv.weight" in sd:
+            a["to_qkv"] = {"kernel": dense_kernel(sd[f"{attn}.fn.to_qkv.weight"])}
+        else:
+            a["to_q"] = {"kernel": dense_kernel(sd[f"{attn}.fn.to_q.weight"])}
+            a["to_kv"] = {"kernel": dense_kernel(sd[f"{attn}.fn.to_kv.weight"])}
+        if f"{attn}.fn.to_out.0.weight" in sd:
+            a["to_out"] = {
+                "kernel": dense_kernel(sd[f"{attn}.fn.to_out.0.weight"]),
+                "bias": sd[f"{attn}.fn.to_out.0.bias"],
+            }
+        out[f"attn_{i}"] = a
+
+        ffp = f"{prefix}.layers.{i}.1"
+        out[f"norm_ff_{i}"] = _norm(sd, f"{ffp}.norm")
+        if ff == "mlp":
+            # feed_forward.py: net = Sequential(Linear, GELU, [Dropout], Linear)
+            ids = sorted(
+                int(k[len(ffp) + 8:].split(".")[0])
+                for k in sd
+                if k.startswith(f"{ffp}.fn.net.") and k.endswith(".weight")
+            )
+            out[f"ff_{i}"] = {
+                "Dense_0": {
+                    "kernel": dense_kernel(sd[f"{ffp}.fn.net.{ids[0]}.weight"]),
+                    "bias": sd[f"{ffp}.fn.net.{ids[0]}.bias"],
+                },
+                "Dense_1": {
+                    "kernel": dense_kernel(sd[f"{ffp}.fn.net.{ids[1]}.weight"]),
+                    "bias": sd[f"{ffp}.fn.net.{ids[1]}.bias"],
+                },
+            }
+        else:
+            out[f"ConvFeedForward_{i}"] = _conv_feed_forward(sd, f"{ffp}.fn")
+    return out
+
+
+def _image_self_attention(sd, prefix: str) -> dict:
+    num_layers = len(
+        {
+            k[len(prefix) + 20 :].split(".")[0]
+            for k in sd
+            if k.startswith(f"{prefix}.transformer.layers.")
+        }
+    )
+    return {
+        "pe_proj": {
+            "kernel": dense_kernel(sd[f"{prefix}.positional_encoding.1.weight"]),
+            "bias": sd[f"{prefix}.positional_encoding.1.bias"],
+        },
+        "patch_embed": _conv(sd, f"{prefix}.patch_embedder.0"),
+        "transformer": _srt_transformer(
+            sd, f"{prefix}.transformer", num_layers, ff="mlp"
+        ),
+        "resampler": _conv_transpose(sd, f"{prefix}.resampler"),
+    }
+
+
+def _conv_feed_forward(sd, prefix: str) -> dict:
+    """ConvFeedForward (epipolar_transformer.py:155-183): layers =
+    Sequential(Conv7x7, GELU, Conv7x7) + self_attention."""
+    return {
+        "self_attention": _image_self_attention(sd, f"{prefix}.self_attention"),
+        "Conv_0": _conv(sd, f"{prefix}.layers.0"),
+        "Conv_1": _conv(sd, f"{prefix}.layers.2"),
+    }
+
+
+def conv_transpose_kernel(w: np.ndarray) -> np.ndarray:
+    """torch ConvTranspose2d (in, out, kh, kw) -> flax (kh, kw, in, out).
+
+    For the stride == kernel (non-overlapping) transposed convs used here,
+    flax's gradient-based transpose matches torch with a spatial flip.
+    """
+    return np.transpose(w, (2, 3, 0, 1))[::-1, ::-1]
+
+
+def _conv_transpose(sd, name):
+    return {
+        "kernel": conv_transpose_kernel(sd[f"{name}.weight"]),
+        "bias": sd[f"{name}.bias"],
+    }
+
+
+def convert_latentsplat_encoder(
+    sd: Dict[str, np.ndarray], num_heads: int = 12
+) -> dict:
+    """Reference EncoderEpipolar state dict (keys under `encoder.`) -> flax
+    params for model.encoder.encoder_epipolar.EncoderEpipolar."""
+    e = {}
+    # Backbone: DINO trunk + global/local token MLPs (backbone_dino.py:33-43).
+    dino_sd = {
+        k[len("backbone.dino."):]: v
+        for k, v in sd.items()
+        if k.startswith("backbone.dino.")
+    }
+    backbone = {"dino": convert_dino_vit(dino_sd, num_heads)}
+    for flax_name, torch_name in (
+        ("Dense_0", "backbone.global_token_mlp.0"),
+        ("Dense_1", "backbone.global_token_mlp.2"),
+        ("Dense_2", "backbone.local_token_mlp.0"),
+        ("Dense_3", "backbone.local_token_mlp.2"),
+    ):
+        backbone[flax_name] = _dense_or_1x1(sd, torch_name)
+    e["backbone"] = backbone
+
+    e["backbone_projection"] = _dense_or_1x1(sd, "backbone_projection.1")
+
+    et = {}
+    if "epipolar_transformer.downscaler.weight" in sd:
+        et["downscaler"] = _conv(sd, "epipolar_transformer.downscaler")
+        et["upscaler"] = _conv_transpose(sd, "epipolar_transformer.upscaler")
+        et["refine_0"] = _conv(sd, "epipolar_transformer.upscale_refinement.0")
+        et["refine_1"] = _conv(sd, "epipolar_transformer.upscale_refinement.2")
+    if "epipolar_transformer.depth_encoding.1.weight" in sd:
+        et["depth_encoding"] = _dense_or_1x1(sd, "epipolar_transformer.depth_encoding.1")
+    num_layers = len(
+        {
+            k.split(".")[3]
+            for k in sd
+            if k.startswith("epipolar_transformer.transformer.layers.")
+        }
+    )
+    et["transformer"] = _srt_transformer(
+        sd, "epipolar_transformer.transformer", num_layers, ff="conv"
+    )
+    e["epipolar_transformer"] = et
+
+    if "high_resolution_skip.0.weight" in sd:
+        e["high_resolution_skip"] = _conv(sd, "high_resolution_skip.0")
+    e["depth_predictor"] = {
+        "projection": _dense_or_1x1(sd, "depth_predictor.projection.1")
+    }
+    e["to_gaussians"] = _dense_or_1x1(sd, "to_gaussians.1")
+    return e
+
+
+def convert_latentsplat_checkpoint(
+    sd: Dict[str, np.ndarray], num_heads: int = 12
+) -> dict:
+    """Full released latentSplat Lightning checkpoint -> params overlay
+    {"generator": {"encoder", "autoencoder"}, "discriminator"}.
+
+    Apply with merge_params onto freshly initialized trees.
+    """
+    def subdict(prefix):
+        return {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+
+    out: dict = {"generator": {}}
+    enc_sd = subdict("encoder.")
+    if enc_sd:
+        out["generator"]["encoder"] = convert_latentsplat_encoder(enc_sd, num_heads)
+
+    ae_sd = subdict("autoencoder.model.")
+    if ae_sd:
+        ae = convert_autoencoder_kl(ae_sd)
+        # Skip convolutions (autoencoder_kl.py:61-74): skip_convs.{0..3} map
+        # onto decoder skip_conv_{i}; the reference's 5th entry is unused.
+        for i in range(4):
+            if f"autoencoder.skip_convs.{i}.weight" in sd:
+                ae["decoder"][f"skip_conv_{i}"] = {
+                    "kernel": conv_kernel(sd[f"autoencoder.skip_convs.{i}.weight"]),
+                    "bias": sd[f"autoencoder.skip_convs.{i}.bias"],
+                }
+        out["generator"]["autoencoder"] = ae
+
+    disc_sd = subdict("discriminator.")
+    if any(k.startswith("main.") for k in disc_sd):
+        out["discriminator"] = convert_discriminator_patch_gan(disc_sd)
+    return out
