@@ -87,3 +87,23 @@ def load_generator_weights(path: Path, params_gen: Any) -> Any:
         return jax.numpy.asarray(src)
 
     return merge(params_gen, source)
+
+
+def resolve_checkpoint_uri(uri: str, download_dir: Path = Path("checkpoints")) -> Path:
+    """Resolve `wandb://run_id:version` checkpoint URIs to a local path.
+
+    Parity with reference src/misc/wandb_tools.py:87-138: download the
+    model artifact of a W&B run. Plain paths pass through unchanged; the
+    wandb scheme requires the wandb package and network access.
+    """
+    if not uri.startswith("wandb://"):
+        return Path(uri)
+    import wandb  # raises ImportError in offline environments
+
+    run_id, _, version = uri[len("wandb://"):].partition(":")
+    version = version or "latest"
+    api = wandb.Api()
+    artifact = api.artifact(f"{run_id.replace(':', '/')}:{version}", type="model")
+    path = Path(artifact.download(root=str(download_dir / run_id)))
+    candidates = sorted(path.glob("*.ckpt")) + sorted(path.glob("step_*"))
+    return candidates[-1] if candidates else path

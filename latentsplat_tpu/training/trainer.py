@@ -106,7 +106,14 @@ class Trainer:
             self.cfg.dataset.cameras_are_circular,
             self.step_tracker,
         )
-        return get_dataset(self.cfg.dataset, stage, view_sampler)
+        dataset = get_dataset(self.cfg.dataset, stage, view_sampler)
+        # Multi-host: each process feeds its own scene shard (the jnp
+        # analog of the reference's per-worker chunk sharding,
+        # dataset_re10k.py:80-86, across hosts instead of loader workers).
+        if jax.process_count() > 1 and hasattr(dataset, "num_shards"):
+            dataset.shard_index = jax.process_index()
+            dataset.num_shards = jax.process_count()
+        return dataset
 
     def _loader(self, stage: str, batch_size: int, repeat: bool) -> Iterator:
         return make_loader(
