@@ -87,6 +87,33 @@ def _grouped_sort_with_key(key: jnp.ndarray, rows: list):
     return sorted_key, out
 
 
+def _pack_bf16_pair(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Two f32 rows -> one f32 row holding their bf16 bit patterns.
+
+    Sorts move payload bits opaquely, so packing halves the payload operand
+    count (lax.sort compile time explodes with operand count). Channels
+    tolerate bf16 (~0.4% rel err); geometry rows stay f32.
+    """
+    lo = jax.lax.bitcast_convert_type(
+        a.astype(jnp.bfloat16), jnp.uint16
+    ).astype(jnp.uint32)
+    hi = jax.lax.bitcast_convert_type(
+        b.astype(jnp.bfloat16), jnp.uint16
+    ).astype(jnp.uint32)
+    return jax.lax.bitcast_convert_type(lo | (hi << 16), jnp.float32)
+
+
+def _unpack_bf16_pair(packed: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    bits = jax.lax.bitcast_convert_type(packed, jnp.uint32)
+    a = jax.lax.bitcast_convert_type(
+        (bits & 0xFFFF).astype(jnp.uint16), jnp.bfloat16
+    ).astype(jnp.float32)
+    b = jax.lax.bitcast_convert_type(
+        (bits >> 16).astype(jnp.uint16), jnp.bfloat16
+    ).astype(jnp.float32)
+    return a, b
+
+
 def _depth_ranks(depth_key: jnp.ndarray) -> jnp.ndarray:
     """Exact depth rank per gaussian, computed with two sorts (no scatter)."""
     g = depth_key.shape[0]
@@ -111,7 +138,7 @@ def _pair_composite(payload, static):
 
 def _pair_composite_fwd(payload, static):
     rows, tile_ids, rank = payload
-    n_ch, tiles_x, tiles_y, g, cap, n_attr = static
+    n_ch, tiles_x, tiles_y, g, cap, n_attr, pack_channels = static
     num_tiles = tiles_x * tiles_y
     n_pairs = g * cap
     n_pairs_pad = ((n_pairs + CHUNK - 1) // CHUNK) * CHUNK
@@ -134,11 +161,35 @@ def _pair_composite_fwd(payload, static):
         for r in rows
     ]
 
-    sorted_keys, sorted_all = _grouped_sort_with_key(
-        key_p, [pair_iota] + pair_rows
-    )
-    pair_perm = sorted_all[0]
-    sorted_rows = sorted_all[1 : 1 + n_attr]
+    if pack_channels:
+        # Geometry rows (x, y, conic, opacity) ride the sort in f32; channel
+        # rows are packed two-per-operand as bf16 bit patterns to cut the
+        # sort call count (unpacked right after — the kernel still sees
+        # f32). Mixed precision: channels quantize to bf16 (~0.4% rel).
+        n_geo = 6
+        geo_rows = pair_rows[:n_geo]
+        chan_rows = pair_rows[n_geo:]
+        if len(chan_rows) % 2:
+            chan_rows = chan_rows + [jnp.zeros_like(chan_rows[0])]
+        packed_rows = [
+            _pack_bf16_pair(chan_rows[i], chan_rows[i + 1])
+            for i in range(0, len(chan_rows), 2)
+        ]
+        sorted_keys, sorted_all = _grouped_sort_with_key(
+            key_p, [pair_iota] + geo_rows + packed_rows
+        )
+        pair_perm = sorted_all[0]
+        sorted_rows = list(sorted_all[1 : 1 + n_geo])
+        for packed in sorted_all[1 + n_geo :]:
+            a, b2 = _unpack_bf16_pair(packed)
+            sorted_rows.extend([a, b2])
+        sorted_rows = sorted_rows[:n_attr]
+    else:
+        sorted_keys, sorted_all = _grouped_sort_with_key(
+            key_p, [pair_iota] + pair_rows
+        )
+        pair_perm = sorted_all[0]
+        sorted_rows = sorted_all[1 : 1 + n_attr]
 
     attrs_pairs = jnp.zeros((n_attr_pad, n_pairs_pad), jnp.float32)
     attrs_pairs = attrs_pairs.at[:n_attr].set(jnp.stack(sorted_rows))
@@ -160,7 +211,7 @@ def _pair_composite_fwd(payload, static):
 
 
 def _pair_composite_bwd(static, residuals, g_tiles):
-    n_ch, tiles_x, tiles_y, g, cap, n_attr = static
+    n_ch, tiles_x, tiles_y, g, cap, n_attr, pack_channels = static
     attrs_pairs, tile_starts, pair_perm, done, t_final = residuals
     d_pairs = composite_pairs_bwd(
         attrs_pairs, tile_starts, done, g_tiles, t_final,
@@ -189,6 +240,7 @@ def composite_tiled(
     image_shape: tuple[int, int],
     background: jnp.ndarray,  # (C,)
     max_tiles_per_gaussian: int = DEFAULT_MAX_TILES_PER_GAUSSIAN,
+    pack_channels: bool = True,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Composite one view's screen Gaussians with the tiled Pallas kernel.
 
@@ -247,7 +299,7 @@ def composite_tiled(
 
     out_tiles = _pair_composite(
         (rows, tile_ids, rank),
-        (n_ch, tiles_x, tiles_y, g, cap, len(rows)),
+        (n_ch, tiles_x, tiles_y, g, cap, len(rows), pack_channels),
     )  # (T, n_ch + 1, PIX)
 
     # Un-tile: (T, row, PIX) -> (row, H, W).

@@ -127,7 +127,7 @@ class TestTiledVsDense:
         sg = project(means, covs, ops, channels)
         bg = jnp.asarray([0.1, 0.2, 0.3, 0.4])
         d_img, d_mask, d_depth = composite_dense(sg, (H, W), bg, tile_size=16)
-        t_img, t_mask, t_depth = composite_tiled(sg, (H, W), bg)
+        t_img, t_mask, t_depth = composite_tiled(sg, (H, W), bg, pack_channels=False)
         np.testing.assert_allclose(np.asarray(t_img), np.asarray(d_img), atol=2e-4)
         np.testing.assert_allclose(np.asarray(t_mask), np.asarray(d_mask), atol=2e-4)
         np.testing.assert_allclose(np.asarray(t_depth), np.asarray(d_depth), atol=2e-3)
@@ -144,7 +144,7 @@ class TestTiledVsDense:
             if backend == "dense":
                 img, mask, depth = composite_dense(sg, (H, W), bg, tile_size=16)
             else:
-                img, mask, depth = composite_tiled(sg, (H, W), bg)
+                img, mask, depth = composite_tiled(sg, (H, W), bg, pack_channels=False)
             return ((img - target) ** 2).mean() + mask.mean() + 1e-3 * depth.mean()
 
         params = (means, covs, ops, channels)
@@ -165,7 +165,7 @@ class TestTiledVsDense:
 
         def loss_fn(op_vec):
             sg = project(means, covs, op_vec, channels)
-            img, mask, _ = composite_tiled(sg, (H, W), bg)
+            img, mask, _ = composite_tiled(sg, (H, W), bg, pack_channels=False)
             return (img**2).mean() + mask.mean()
 
         g = np.asarray(jax.grad(loss_fn)(ops))
@@ -259,3 +259,18 @@ class TestRenderAPI:
         np.testing.assert_allclose(
             np.asarray(out.color[0, 0]), np.asarray(out.color[0, 1]), atol=1e-5
         )
+
+
+class TestPackedChannels:
+    def test_bf16_packed_close_to_exact(self):
+        """Default mixed-precision channel packing stays within bf16 error
+        of the exact f32 path."""
+        n = 64
+        means, covs, ops, channels = make_gaussians(jax.random.PRNGKey(21), n)
+        sg = project(means, covs, ops, channels)
+        bg = jnp.zeros((channels.shape[-1],))
+        exact = composite_tiled(sg, (H, W), bg, pack_channels=False)
+        packed = composite_tiled(sg, (H, W), bg, pack_channels=True)
+        # Geometry-derived outputs are exact; channel outputs are bf16-close.
+        np.testing.assert_allclose(np.asarray(packed[1]), np.asarray(exact[1]), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(packed[0]), np.asarray(exact[0]), atol=2e-2)
