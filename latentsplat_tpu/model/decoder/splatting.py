@@ -31,6 +31,9 @@ from ..types import Gaussians
 class DecoderSplattingCfg:
     name: str = "splatting"
     backend: Backend = "tiled"
+    # Per-gaussian tile-duplication cap (3x3 rect default). Splats larger
+    # than the cap are truncated; smaller caps cut pair-sort time.
+    max_tiles_per_gaussian: int = 9
 
 
 @struct.dataclass
@@ -86,6 +89,7 @@ class DecoderSplatting:
             color_sh,
             feature_sh,
             backend=self.cfg.backend,
+            max_tiles_per_gaussian=self.cfg.max_tiles_per_gaussian,
         )
 
         # (b, v, c, h, w) -> (b, v, h, w, c).

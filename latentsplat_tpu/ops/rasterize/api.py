@@ -54,6 +54,7 @@ def render(
     scale_invariant: bool = True,
     use_sh: bool = True,
     backend: Backend = "tiled",
+    max_tiles_per_gaussian: int = 9,
 ) -> RenderOutput:
     """Render each scene's gaussians to its V views.
 
@@ -127,7 +128,10 @@ def render(
                 return composite_dense(sg, image_shape, bg_full)
             from .tiled import composite_tiled
 
-            return composite_tiled(sg, image_shape, bg_full)
+            return composite_tiled(
+                sg, image_shape, bg_full,
+                max_tiles_per_gaussian=max_tiles_per_gaussian,
+            )
 
         return jax.lax.map(render_one, (ext_v, intr_v, near_v, far_v))
 
