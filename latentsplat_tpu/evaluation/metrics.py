@@ -192,9 +192,14 @@ class DISTSNet(nn.Module):
             s1 = (2 * x_mean * y_mean + c1) / (x_mean**2 + y_mean**2 + c1)
             dist1 = dist1 + jnp.sum(a * s1, axis=-1)
 
-            x_var = ((fx[k] - x_mean[:, None, None]) ** 2).mean(axis=(1, 2))
-            y_var = ((fy[k] - y_mean[:, None, None]) ** 2).mean(axis=(1, 2))
-            xy_cov = (fx[k] * fy[k]).mean(axis=(1, 2)) - x_mean * y_mean
+            x_c = fx[k] - x_mean[:, None, None]
+            y_c = fy[k] - y_mean[:, None, None]
+            x_var = (x_c**2).mean(axis=(1, 2))
+            y_var = (y_c**2).mean(axis=(1, 2))
+            # Centered form: E[(x-mx)(y-my)], not E[xy] - mx my — the latter
+            # cancels catastrophically for near-constant features and the
+            # error dwarfs c2.
+            xy_cov = (x_c * y_c).mean(axis=(1, 2))
             s2 = (2 * xy_cov + c2) / (x_var + y_var + c2)
             dist2 = dist2 + jnp.sum(b * s2, axis=-1)
 

@@ -532,3 +532,36 @@ def convert_latentsplat_checkpoint(
     if any(k.startswith("main.") for k in disc_sd):
         out["discriminator"] = convert_discriminator_patch_gan(disc_sd)
     return out
+
+
+# ---------------------------------------------------------------------------
+# DISTS (DISTS_pytorch package)
+# ---------------------------------------------------------------------------
+
+
+def convert_dists(sd: Dict[str, np.ndarray]) -> dict:
+    """DISTS_pytorch state dict -> flax params for evaluation.metrics.DISTSNet.
+
+    The torch module holds VGG16 convs under stage1..stage5 sequential
+    indices and learned per-channel weights alpha/beta of shape
+    (1, sum_channels, 1, 1).
+    """
+    # Stage -> (sequential conv indices within the stage).
+    stage_convs = {
+        1: (0, 2),
+        2: (1, 3),      # stage2: L2pool at 0
+        3: (1, 3, 5),
+        4: (1, 3, 5),
+        5: (1, 3, 5),
+    }
+    params: dict = {}
+    conv_n = 0
+    for stage in range(1, 6):
+        for idx in stage_convs[stage]:
+            w = sd[f"stage{stage}.{idx}.weight"]
+            b = sd[f"stage{stage}.{idx}.bias"]
+            params[f"conv_{conv_n}"] = {"kernel": conv_kernel(w), "bias": b}
+            conv_n += 1
+    params["alpha"] = sd["alpha"].reshape(-1)
+    params["beta"] = sd["beta"].reshape(-1)
+    return params

@@ -185,3 +185,76 @@ def test_visualize_epipolar_lines_script(tmp_path):
         ]
     )
     assert list(Path(tmp_path).glob("*.png"))
+
+
+def test_dists_converter_structure():
+    import jax as jax_
+
+    from latentsplat_tpu.evaluation.metrics import DISTSNet
+    from latentsplat_tpu.training.pretrained import convert_dists, merge_params
+
+    rng = np.random.default_rng(0)
+    stage_convs = {1: (0, 2), 2: (1, 3), 3: (1, 3, 5), 4: (1, 3, 5), 5: (1, 3, 5)}
+    widths = {1: [(3, 64), (64, 64)], 2: [(64, 128), (128, 128)],
+              3: [(128, 256), (256, 256), (256, 256)],
+              4: [(256, 512), (512, 512), (512, 512)],
+              5: [(512, 512), (512, 512), (512, 512)]}
+    sd = {}
+    for stage, idxs in stage_convs.items():
+        for idx, (ci, co) in zip(idxs, widths[stage]):
+            sd[f"stage{stage}.{idx}.weight"] = rng.normal(size=(co, ci, 3, 3)).astype(np.float32) * 0.02
+            sd[f"stage{stage}.{idx}.bias"] = np.zeros((co,), np.float32)
+    total = 3 + 64 + 128 + 256 + 512 + 512
+    sd["alpha"] = np.abs(rng.normal(size=(1, total, 1, 1))).astype(np.float32)
+    sd["beta"] = np.abs(rng.normal(size=(1, total, 1, 1))).astype(np.float32)
+
+    net = DISTSNet()
+    x = jnp.zeros((1, 32, 32, 3))
+    params = net.init(jax_.random.PRNGKey(0), x, x)["params"]
+    merged = merge_params(params, convert_dists(sd))
+    out = net.apply({"params": merged}, x, x)
+    assert abs(float(out[0])) < 1e-4  # identical inputs -> ~0 distance
+
+
+def test_encoder_visualizations():
+    from latentsplat_tpu.model.encoder.epipolar_sampler import (
+        sample_epipolar_features,
+    )
+    from latentsplat_tpu.model.encoder.visualization import (
+        visualize_depth,
+        visualize_epipolar_samples,
+    )
+    from latentsplat_tpu.model.types import Gaussians
+
+    ext, intr = _arc(2)
+    h = w = 32
+    rng = np.random.default_rng(0)
+    context = {
+        "image": rng.uniform(size=(1, 2, h, w, 3)).astype(np.float32),
+        "extrinsics": ext[None],
+        "intrinsics": intr[None],
+        "near": np.full((1, 2), 0.5, np.float32),
+        "far": np.full((1, 2), 20.0, np.float32),
+    }
+    features = jnp.asarray(rng.normal(size=(1, 2, 8, 8, 16)).astype(np.float32))
+    sampling = sample_epipolar_features(
+        features,
+        jnp.asarray(context["extrinsics"]),
+        jnp.asarray(context["intrinsics"]),
+        jnp.asarray(context["near"]),
+        jnp.asarray(context["far"]),
+        num_samples=4,
+    )
+    img = visualize_epipolar_samples(context, sampling, num_rays=4)
+    assert img.ndim == 3 and img.shape[-1] == 3
+
+    g = 2 * h * w  # one gaussian per pixel
+    gaussians = Gaussians(
+        means=jnp.asarray(rng.normal(size=(1, g, 3)).astype(np.float32) + [0, 0, 4]),
+        covariances=jnp.broadcast_to(jnp.eye(3) * 1e-4, (1, g, 3, 3)),
+        opacities=jnp.ones((1, g)),
+        color_harmonics=jnp.ones((1, g, 3, 1)),
+        feature_harmonics=None,
+    )
+    depth_img = visualize_depth(context, gaussians, gaussians_per_pixel=1)
+    assert depth_img.ndim == 3 and np.isfinite(depth_img).all()
