@@ -25,7 +25,9 @@ ITERS = 4
 def main() -> None:
     full = "--full" in sys.argv
     size = 256 if full else 128
-    batch = 2 if full else 1
+    # 256px batch 2 (the reference's per-A100-40GB shape) exceeds a 16 GB
+    # v5e by ~3 GB without rematerialization; --full runs batch 1.
+    batch = 1
 
     from __graft_entry__ import _arc_batch, _flagship_model
     from latentsplat_tpu.loss.losses import get_loss_group

@@ -35,6 +35,10 @@ class ModelCfg:
     encode_latents: bool = False
     supersampling_factor: int = 1
     variational: Literal["none", "gaussians", "latents"] = "none"
+    # Rematerialize the encoder and VAE-decode in the backward pass,
+    # trading ~30% step time for the activation memory that blocks
+    # 256px batch-2 training on a 16 GB chip.
+    remat: bool = False
 
 
 @dataclass

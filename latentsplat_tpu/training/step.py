@@ -236,14 +236,28 @@ def generator_forward(
             )
 
     if flags.needs_render:
-        gaussians = model.apply_encoder(
-            params_gen,
-            batch["context"],
-            step,
-            k_enc,
-            features=context_latents if cfg.encode_latents else None,
-            deterministic=False,
-        )
+        encode = model.apply_encoder
+        if cfg.remat:
+            assert not cfg.encode_latents, "remat + encode_latents unsupported"  
+            # Rematerialize the encoder's activations in the backward pass
+            # (jax.checkpoint): DINO + epipolar transformer activations
+            # dominate HBM at 256px (README.md:63-67's 40 GB footprint).
+            encode = jax.checkpoint(
+                lambda p, c, s, k: model.apply_encoder(
+                    p, c, s, k, deterministic=False
+                ),
+                static_argnums=(),
+            )
+            gaussians = encode(params_gen, batch["context"], step, k_enc)
+        else:
+            gaussians = encode(
+                params_gen,
+                batch["context"],
+                step,
+                k_enc,
+                features=context_latents if cfg.encode_latents else None,
+                deterministic=False,
+            )
         if flags.gaussian:
             preds["gaussian"] = preds["gaussian"].replace(
                 posterior=gaussians.feature_harmonics
@@ -284,8 +298,11 @@ def generator_forward(
                     )
                 else:
                     skip_z = None
+                decode = model.ae_decode
+                if cfg.remat:
+                    decode = jax.checkpoint(model.ae_decode)
                 preds["target_combined"] = preds["target_combined"].replace(
-                    image=model.ae_decode(params_gen, z, skip_z)
+                    image=decode(params_gen, z, skip_z)
                 )
 
     # Batched VAE decodes for context/target autoencoder branches

@@ -187,3 +187,21 @@ class TestFullVaeGan:
         assert not flags.target_combined  # inactive until 10k
         flags_10k = make_step_flags(losses, 10_000)
         assert flags_10k.target_combined
+
+
+class TestRemat(TestFullVaeGan):
+    """model.remat=True (jax.checkpoint around encoder + VAE decode) must
+    produce finite losses like the plain path, with less live memory."""
+
+    def test_remat_step_runs_and_is_finite(self):
+        self.model_cfg.remat = True
+        model, losses, state, step_fn = build(
+            self.model_cfg, self.loss_cfgs, self.batch, self.opt_cfg
+        )
+        flags = make_step_flags(losses, 0)
+        new_state, logs = step_fn(state, self.batch, jax.random.PRNGKey(3), flags)
+        assert bool(jnp.isfinite(logs["generator/total"]))
+
+    # Don't rerun the inherited tests.
+    test_full_step_runs_and_updates = None
+    test_step_gating_masks_losses = None
