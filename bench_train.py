@@ -45,6 +45,8 @@ def main() -> None:
 
     overrides = [
         f"dataset.image_shape=[{size},{size}]",
+        # 256px activations exceed 16 GB HBM without rematerialization.
+        f"model.remat={'true' if full else 'false'}",
         # Activate the full objective from step 0 (the reference's late-
         # schedule losses are the expensive ones).
         "loss.target_render_image.nll=[{name: mse, weight: 10}, {name: lpips, weight: 0.5}]",

@@ -258,3 +258,15 @@ def test_encoder_visualizations():
     )
     depth_img = visualize_depth(context, gaussians, gaussians_per_pixel=1)
     assert depth_img.ndim == 3 and np.isfinite(depth_img).all()
+
+
+def test_main_cli_arg_parsing():
+    from latentsplat_tpu.main import parse_args
+
+    experiment, overrides = parse_args(
+        ["+experiment=re10k", "mode=test", "trainer.max_steps=5"]
+    )
+    assert experiment == "re10k"
+    assert overrides == ["mode=test", "trainer.max_steps=5"]
+    with pytest.raises(SystemExit):
+        parse_args(["not-an-override"])
