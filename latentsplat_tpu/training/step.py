@@ -332,6 +332,9 @@ def generator_forward(
 
     # Losses.
     lpips_fn = model.lpips_fn(lpips_params)
+    if cfg.remat:
+        # VGG activations at 256px are ~GBs across the two LPIPS sites.
+        lpips_fn = jax.checkpoint(lpips_fn)
     nll_total = jnp.asarray(0.0)
     logs: Dict[str, jnp.ndarray] = {}
     group_nll = {}
