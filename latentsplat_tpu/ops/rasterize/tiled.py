@@ -1,31 +1,39 @@
-"""Tiled rasterization: sort-binned pairs + Pallas compositing, custom VJP.
+"""Tiled rasterization: exact pair expansion + sort binning + Pallas
+compositing, with a custom VJP.
 
 TPU-native replacement for the CUDA rasterizer's duplicate-with-keys /
 radix-sort / per-tile-range scheme (`latent-gaussian-rasterization`,
 characterized at src/model/decoder/cuda_splatting.py:124-158). The CUDA
 structure (per-tile depth-ordered pair segments) is work-optimal and is
-kept — but every data-movement step is expressed as a **sort**, the one
-reordering primitive that streams on TPU (measured on v5e: lax.sort moves
-3.5M elements x 7 payload rows in ~60 ms, while XLA gather/scatter/cumsum
-over the same rows serialize at ~3 us/row, i.e. ~10 s).
+kept — but every data-movement step is expressed either as a **sort** (the
+one XLA reordering primitive that streams on TPU) or as an **interval-paint
+matmul inside a Pallas kernel** (MXU work instead of gather/scatter, which
+serialize at ~3 us/row on TPU).
 
 Pipeline:
   1. Project all gaussians (camera.py, dense XLA).
   2. Depth ranks: argsort depth, invert the permutation with a second sort
      (rank[perm[i]] = i expressed as sorting (perm, iota)).
-  3. Expand each gaussian into `cap` tile slots by pure broadcasting
-     (gaussian-major, so pair attribute rows are `repeat`s, never gathers);
-     compute each pair's composite int32 key = tile << 19 | depth_rank
-     (exact: G < 2^19, tiles <= 2^12 fit in 31 bits for <= 4096 tiles).
-  4. ONE grouped stable sort pass by the key carries all attribute rows and
+  3. EXACT expansion (expand.py): each gaussian is replicated once per
+     overlapped tile (counts = clamped tile-rect area; dead gaussians emit
+     one invalid-tile pair so interval spans stay bounded). This matches
+     the CUDA duplication exactly — round 1 instead broadcast every
+     gaussian to a fixed `cap` slots, and the ~60% padding rows dominated
+     the sort cost (3.5M vs the measured 0.96M real pairs at the flagship
+     scale). The pair *budget* is static (XLA shapes): farthest-fetched
+     pairs are dropped if `pair_budget_factor * G` is ever exceeded.
+  4. Per-pair tile ids from the painted (base, nx, start) rows; composite
+     int32 key = tile << 19 | depth_rank (exact: G < 2^19, tiles <= 2^12).
+  5. ONE grouped stable sort pass by the key carries all attribute rows and
      a pair-index iota. Per-tile segment bounds = searchsorted on the keys.
-  5. The Pallas kernels composite each tile's contiguous depth-ordered
+  6. The Pallas kernels composite each tile's contiguous depth-ordered
      segment; segments are unaligned, so chunks are CHUNK-aligned windows
      with in-kernel masking, and the backward accumulates with sequential
      read-modify-write (see pallas_kernels.py).
-  6. Backward: pair gradients are stable-sorted by the carried pair index
-     (returning them to gaussian-major (G, cap) layout — applying the
-     inverse permutation without a gather) and summed over the cap axis.
+  7. Backward: pair gradients are stable-sorted by the carried pair index
+     (returning them to expanded gaussian-major layout — applying the
+     inverse permutation without a gather) and segment-summed per gaussian
+     by the reduce_by_counts kernel (expand.py).
 
 Gradients flow to mean2d, conic, opacity, channels, and the composited
 depth; tile assignment and ordering are (correctly) treated as
@@ -39,6 +47,13 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from .expand import (
+    GW,
+    OUT_BLOCK,
+    expand_by_counts,
+    reduce_by_counts,
+    start_offsets,
+)
 from .pallas_kernels import (
     CHUNK,
     PIX,
@@ -50,6 +65,7 @@ from .pallas_kernels import (
 from .types import ScreenGaussians
 
 DEFAULT_MAX_TILES_PER_GAUSSIAN = 9
+DEFAULT_PAIR_BUDGET_FACTOR = 4.0
 
 # Payload rows per stable sort call. lax.sort compile time grows steeply
 # with operand count (17 operands failed to compile in 9 min on v5e, 7
@@ -62,6 +78,10 @@ RANK_BITS = 19  # G < 2^19 gaussians; composite key = tile << RANK_BITS | rank
 
 def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
 
 
 def _grouped_sort(key: jnp.ndarray, rows: list) -> list:
@@ -127,39 +147,71 @@ def _depth_ranks(depth_key: jnp.ndarray) -> jnp.ndarray:
 def _pair_composite(payload, static):
     """Differentiable core: per-gaussian rows -> tile outputs.
 
-    payload = (rows tuple (G,), tile_slot_ids (G, cap) int32, depth_rank
-    (G,) int32); static = (n_ch, tiles_x, tiles_y, g, cap, n_attr). The VJP
-    owns the pair sort (forward) and the gradient unsort + cap-reduction
-    (backward), keeping slow gather/scatter lowerings out of the graph.
+    payload = (rows tuple (G,), counts (G,) int32, rank/base/nx (G,) int32);
+    static = (n_ch, tiles_x, tiles_y, g, cap, n_attr, pack_channels,
+    pair_budget). The VJP owns the expansion + pair sort (forward) and the
+    gradient unsort + per-gaussian segment reduction (backward), keeping
+    slow gather/scatter lowerings out of the graph.
     """
     out, _ = _pair_composite_fwd(payload, static)
     return out
 
 
 def _pair_composite_fwd(payload, static):
-    rows, tile_ids, rank = payload
-    n_ch, tiles_x, tiles_y, g, cap, n_attr, pack_channels = static
+    rows, counts, rank, base, nx = payload
+    (n_ch, tiles_x, tiles_y, g, cap, n_attr, pack_channels,
+     pair_budget) = static
     num_tiles = tiles_x * tiles_y
-    n_pairs = g * cap
-    n_pairs_pad = ((n_pairs + CHUNK - 1) // CHUNK) * CHUNK
+    interpret = _use_interpret()
+    g_pad = _round_up(g, GW)
     n_attr_pad = pad_attr_rows(n_attr)
 
-    # Composite key: invalid slots get tile == num_tiles (sorted past every
-    # real segment).
-    key = (tile_ids.astype(jnp.int32) << RANK_BITS) | rank[:, None]
-    key = key.reshape(-1)
+    def padg(x):
+        return jnp.pad(x, (0, g_pad - g))
 
-    def pad_pairs(x, fill=0):
-        return jnp.pad(x, (0, n_pairs_pad - n_pairs), constant_values=fill)
-
-    key_p = pad_pairs(key, (num_tiles + 1) << RANK_BITS)
-    pair_iota = jnp.arange(n_pairs_pad, dtype=jnp.int32)
-    # Pair rows by pure replication (gaussian-major: row value repeats cap
-    # times consecutively) — broadcasting, not gathering.
-    pair_rows = [
-        pad_pairs(jnp.broadcast_to(r[:, None], (g, cap)).reshape(-1))
-        for r in rows
+    # Expansion input: attribute rows + metadata rows (rank/base/nx plus the
+    # exact f32 start-offset and count rows the kernel paints through).
+    counts_p = padg(counts)
+    starts, _ = start_offsets(counts_p)
+    exp_rows = [padg(r) for r in rows] + [
+        padg(rank.astype(jnp.float32)),
+        padg(base.astype(jnp.float32)),
+        padg(nx.astype(jnp.float32)),
+        starts,
+        counts_p.astype(jnp.float32),
     ]
+    start_idx = n_attr + 3
+    cnt_idx = n_attr + 4
+    r_pad = _round_up(len(exp_rows), 8)
+    exp_stack = jnp.zeros((r_pad, g_pad), jnp.float32)
+    exp_stack = exp_stack.at[: len(exp_rows)].set(jnp.stack(exp_rows))
+
+    expanded = expand_by_counts(
+        exp_stack, counts_p, pair_budget, start_idx, cnt_idx,
+        interpret=interpret,
+    )
+    total = jnp.minimum(counts_p.sum(), pair_budget)
+
+    rank_e = expanded[n_attr].astype(jnp.int32)
+    base_e = expanded[n_attr + 1].astype(jnp.int32)
+    nx_e = jnp.maximum(expanded[n_attr + 2].astype(jnp.int32), 1)
+    start_e = expanded[start_idx].astype(jnp.int32)
+
+    pair_iota = jnp.arange(pair_budget, dtype=jnp.int32)
+    slot = pair_iota - start_e
+    # Unpainted tail columns hold zeros (start=0, nx=1) -> garbage tiles;
+    # clamp before shifting so the int32 key math can't overflow, then mask.
+    tile = jnp.clip(
+        base_e + slot % nx_e + (slot // nx_e) * tiles_x, 0, num_tiles
+    )
+    valid = pair_iota < total
+    key = jnp.where(
+        valid,
+        (tile << RANK_BITS) | rank_e,
+        (num_tiles + 1) << RANK_BITS,
+    )
+
+    pair_rows = [expanded[i] for i in range(n_attr)]
 
     if pack_channels:
         # Geometry rows (x, y, conic, opacity) ride the sort in f32; channel
@@ -176,7 +228,7 @@ def _pair_composite_fwd(payload, static):
             for i in range(0, len(chan_rows), 2)
         ]
         sorted_keys, sorted_all = _grouped_sort_with_key(
-            key_p, [pair_iota] + geo_rows + packed_rows
+            key, [pair_iota] + geo_rows + packed_rows
         )
         pair_perm = sorted_all[0]
         sorted_rows = list(sorted_all[1 : 1 + n_geo])
@@ -186,12 +238,12 @@ def _pair_composite_fwd(payload, static):
         sorted_rows = sorted_rows[:n_attr]
     else:
         sorted_keys, sorted_all = _grouped_sort_with_key(
-            key_p, [pair_iota] + pair_rows
+            key, [pair_iota] + pair_rows
         )
         pair_perm = sorted_all[0]
         sorted_rows = sorted_all[1 : 1 + n_attr]
 
-    attrs_pairs = jnp.zeros((n_attr_pad, n_pairs_pad), jnp.float32)
+    attrs_pairs = jnp.zeros((n_attr_pad, pair_budget), jnp.float32)
     attrs_pairs = attrs_pairs.at[:n_attr].set(jnp.stack(sorted_rows))
 
     tile_starts = jnp.searchsorted(
@@ -203,33 +255,37 @@ def _pair_composite_fwd(payload, static):
     out_tiles, done = composite_pairs_fwd(
         attrs_pairs, tile_starts,
         n_ch=n_ch, tiles_x=tiles_x, tiles_y=tiles_y,
-        interpret=_use_interpret(),
+        interpret=interpret,
     )
     t_final = out_tiles[:, n_ch : n_ch + 1, :]
-    residuals = (attrs_pairs, tile_starts, pair_perm, done, t_final)
+    residuals = (attrs_pairs, tile_starts, pair_perm, done, t_final, counts_p)
     return out_tiles, residuals
 
 
 def _pair_composite_bwd(static, residuals, g_tiles):
-    n_ch, tiles_x, tiles_y, g, cap, n_attr, pack_channels = static
-    attrs_pairs, tile_starts, pair_perm, done, t_final = residuals
+    (n_ch, tiles_x, tiles_y, g, cap, n_attr, pack_channels,
+     pair_budget) = static
+    attrs_pairs, tile_starts, pair_perm, done, t_final, counts_p = residuals
+    interpret = _use_interpret()
     d_pairs = composite_pairs_bwd(
         attrs_pairs, tile_starts, done, g_tiles, t_final,
         n_ch=n_ch, tiles_x=tiles_x, tiles_y=tiles_y,
-        interpret=_use_interpret(),
+        interpret=interpret,
     )
     # Unsort: stable-sorting gradient rows keyed by the carried pair index
-    # applies the inverse permutation (no gather); then gaussian-major
-    # (G, cap) reduction replaces the scatter-add.
+    # applies the inverse permutation (no gather); then the reduce_by_counts
+    # kernel segment-sums each gaussian's pair gradients (no scatter).
     d_rows = [d_pairs[i] for i in range(n_attr)]
     unsorted = _grouped_sort(pair_perm, d_rows)
-    n_pairs = g * cap
-    d_rows_orig = tuple(
-        u[:n_pairs].reshape(g, cap).sum(axis=1) for u in unsorted
+    r_pad = pad_attr_rows(n_attr)
+    d_stack = jnp.zeros((r_pad, pair_budget), jnp.float32)
+    d_stack = d_stack.at[:n_attr].set(jnp.stack(unsorted))
+    d_gauss = reduce_by_counts(
+        d_stack, counts_p, max(cap, 1), interpret=interpret
     )
-    d_tile_ids = jnp.zeros((g, cap), jnp.int32)
-    d_rank = jnp.zeros((g,), jnp.int32)
-    return ((d_rows_orig, d_tile_ids, d_rank),)
+    d_rows_orig = tuple(d_gauss[i, :g] for i in range(n_attr))
+    zero_i = jnp.zeros((g,), jnp.int32)
+    return ((d_rows_orig, zero_i, zero_i, zero_i, zero_i),)
 
 
 _pair_composite.defvjp(_pair_composite_fwd, _pair_composite_bwd)
@@ -241,11 +297,19 @@ def composite_tiled(
     background: jnp.ndarray,  # (C,)
     max_tiles_per_gaussian: int = DEFAULT_MAX_TILES_PER_GAUSSIAN,
     pack_channels: bool = True,
+    pair_budget_factor: float = DEFAULT_PAIR_BUDGET_FACTOR,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Composite one view's screen Gaussians with the tiled Pallas kernel.
 
     Returns (channels_img (C, H, W), mask (H, W), depth (H, W)) — the same
     contract as `composite_dense`.
+
+    `pair_budget_factor` bounds the static pair-buffer size at
+    `factor * G` (XLA needs static shapes where CUDA allocates the exact
+    duplication count at runtime). Real scenes measure ~2.4 pairs per
+    gaussian at 256 px, so the default 4x never truncates in practice;
+    if it ever does, the pairs of the highest-indexed gaussians are
+    dropped.
     """
     h, w = image_shape
     assert h % TILE == 0 and w % TILE == 0, "image dims must be multiples of 16"
@@ -258,6 +322,10 @@ def composite_tiled(
     cap = max_tiles_per_gaussian
     assert g < (1 << RANK_BITS), "gaussian count exceeds the rank-key budget"
     assert num_tiles << RANK_BITS < (1 << 31), "too many tiles for int32 keys"
+    assert g * cap < (1 << 24), "pair offsets exceed exact-f32 range"
+    pair_budget = _round_up(
+        min(int(g * pair_budget_factor) + 1, g * cap), OUT_BLOCK
+    )
 
     alive = sg.radius > 0.0
     depth_key = jnp.where(alive, sg.depth, jnp.inf)
@@ -276,13 +344,13 @@ def composite_tiled(
     ny = ty1 - ty0 + 1
     n_rect = nx * ny  # may exceed cap for huge splats (then truncated)
 
-    slot = jnp.arange(cap, dtype=jnp.int32)[None, :]
-    slot_x = slot % nx[:, None]
-    slot_y = slot // nx[:, None]
-    tile_x = tx0[:, None] + slot_x
-    tile_y = ty0[:, None] + slot_y
-    valid = (slot < jnp.minimum(n_rect, cap)[:, None]) & alive[:, None]
-    tile_ids = jnp.where(valid, tile_y * tiles_x + tile_x, num_tiles)
+    # Exact per-gaussian duplication counts. Dead gaussians emit ONE pair
+    # with an invalid tile id: it sorts past every real segment (never
+    # composited) and keeps counts >= 1, which bounds how many gaussian
+    # blocks one expansion output block can span (see expand.py).
+    counts = jnp.where(alive, jnp.minimum(n_rect, cap), 1).astype(jnp.int32)
+    base = jnp.where(alive, ty0 * tiles_x + tx0, num_tiles).astype(jnp.int32)
+    nx_safe = jnp.where(alive, nx, 1).astype(jnp.int32)
 
     rows = tuple(
         [
@@ -298,8 +366,9 @@ def composite_tiled(
     )
 
     out_tiles = _pair_composite(
-        (rows, tile_ids, rank),
-        (n_ch, tiles_x, tiles_y, g, cap, len(rows), pack_channels),
+        (rows, counts, rank, base, nx_safe),
+        (n_ch, tiles_x, tiles_y, g, cap, len(rows), pack_channels,
+         pair_budget),
     )  # (T, n_ch + 1, PIX)
 
     # Un-tile: (T, row, PIX) -> (row, H, W).
