@@ -54,6 +54,15 @@ def main(argv=None) -> None:
             save_image(
                 image, output_path / scene / ctx_str / "color" / f"{int(index):0>6}.png"
             )
+        # Context frames feed the paper figures' "Ref." column
+        # (paper/common.py context_panel).
+        for image, index in zip(
+            example["context"]["image"], example["context"]["index"]
+        ):
+            save_image(
+                image,
+                output_path / scene / ctx_str / "context" / f"{int(index):0>6}.png",
+            )
         print(scene)
 
 
