@@ -145,12 +145,15 @@ def _fwd_kernel(
     out_ref,         # VMEM block: (1, n_ch + 2, PIX) f32
                      #   rows [0, n_ch) = channels, n_ch = T_final,
                      #   n_ch + 1 = processed-chunk count (broadcast f32)
-    attr_buf,        # VMEM scratch: (n_attr_pad, CHUNK) f32
+    attr_buf0,       # VMEM scratch: (n_attr_pad, CHUNK) f32 (double buffer 0)
+    attr_buf1,       # VMEM scratch: (n_attr_pad, CHUNK) f32 (double buffer 1)
     lt_ref,          # VMEM scratch: (1, PIX) f32 (log transmittance)
-    sem,             # DMA semaphore
+    sem0,            # DMA semaphore (buffer 0)
+    sem1,            # DMA semaphore (buffer 1)
     *,
     n_ch: int,
     tiles_x: int,
+    n_chunks_total: int,
 ):
     t = pl.program_id(0)
     start = tile_starts[t]
@@ -165,15 +168,44 @@ def _fwd_kernel(
 
     lower = _strict_lower(CHUNK)
 
+    bufs = (attr_buf0, attr_buf1)
+    sems = (sem0, sem1)
+
+    def fetch(i, parity):
+        """Start the chunk-i DMA into the parity buffer (clamped in-range
+        so the one-ahead prefetch never reads past the array)."""
+        pos = jnp.minimum(start_chunk + i, n_chunks_total - 1) * CHUNK
+        for p in (0, 1):
+
+            @pl.when(parity == p)
+            def _():
+                pltpu.make_async_copy(
+                    attrs.at[:, pl.ds(pos, CHUNK)], bufs[p], sems[p]
+                ).start()
+
+    @pl.when(n_chunks > 0)
+    def _prefetch_first():
+        fetch(jnp.int32(0), jnp.int32(0))
+
     def body(state):
         i, _ = state
+        parity = jax.lax.rem(i, 2)
+        # Start the next chunk's DMA before waiting on the current one.
+        fetch(i + 1, 1 - parity)
+        for p in (0, 1):
+
+            @pl.when(parity == p)
+            def _():
+                pltpu.make_async_copy(
+                    attrs.at[:, pl.ds(jnp.int32(0), CHUNK)], bufs[p], sems[p]
+                ).wait()
+
         pos = (start_chunk + i) * CHUNK  # provably lane-aligned
-        copy = pltpu.make_async_copy(
-            attrs.at[:, pl.ds(pos, CHUNK)], attr_buf, sem
-        )
-        copy.start()
-        copy.wait()
-        a = _transpose_mxu(attr_buf[:])  # (CHUNK, n_attr_pad)
+        # Select the filled buffer (both transposes issue; the MXU cost is
+        # negligible next to the hidden DMA latency).
+        a0 = _transpose_mxu(attr_buf0[:])
+        a1 = _transpose_mxu(attr_buf1[:])
+        a = jnp.where(parity == 0, a0, a1)  # (CHUNK, n_attr_pad)
 
         alpha, _, _, _, _ = _chunk_alpha(a, px, py, pos, start, end)
 
@@ -200,6 +232,20 @@ def _fwd_kernel(
 
     final_i, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.float32(0.0)))
 
+    # Drain the in-flight prefetch so the next grid step's DMAs can't race
+    # this tile's outstanding transfer (exactly one is pending whenever at
+    # least one chunk was processed).
+    @pl.when(n_chunks > 0)
+    def _drain():
+        parity = jax.lax.rem(final_i, 2)
+        for p in (0, 1):
+
+            @pl.when(parity == p)
+            def _():
+                pltpu.make_async_copy(
+                    attrs.at[:, pl.ds(jnp.int32(0), CHUNK)], bufs[p], sems[p]
+                ).wait()
+
     out_ref[0, n_ch, :] = jnp.exp(lt_ref[0])
     out_ref[0, n_ch + 1, :] = jnp.full((PIX,), final_i.astype(jnp.float32))
 
@@ -216,6 +262,7 @@ def composite_pairs_fwd(
     """Run the forward kernel. Returns (out_tiles [T, n_ch+1, PIX], done [T])."""
     num_tiles = tiles_x * tiles_y
     n_attr = attrs_pairs.shape[0]
+    n_chunks_total = attrs_pairs.shape[1] // CHUNK
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(num_tiles,),
@@ -224,11 +271,15 @@ def composite_pairs_fwd(
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((n_attr, CHUNK), jnp.float32),
+            pltpu.VMEM((n_attr, CHUNK), jnp.float32),
             pltpu.VMEM((1, PIX), jnp.float32),
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
     )
-    kernel = functools.partial(_fwd_kernel, n_ch=n_ch, tiles_x=tiles_x)
+    kernel = functools.partial(
+        _fwd_kernel, n_ch=n_ch, tiles_x=tiles_x, n_chunks_total=n_chunks_total
+    )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -259,14 +310,19 @@ def _bwd_kernel(
                      #   sequential so later programs see the memset, and
                      #   RMW accumulation makes overlapping chunk windows of
                      #   adjacent tiles race-free)
-    attr_buf,        # VMEM scratch: (n_attr_pad, CHUNK) f32
+    attr_buf0,       # VMEM scratch: (n_attr_pad, CHUNK) f32 (double buffer 0)
+    attr_buf1,       # VMEM scratch: (n_attr_pad, CHUNK) f32 (double buffer 1)
     grad_tmp,        # VMEM scratch: (CHUNK, n_attr_pad) f32 (pair-major)
-    acc_buf,         # VMEM scratch: (n_attr_pad, CHUNK) f32 (RMW accumulator)
+    acc_buf0,        # VMEM scratch: (n_attr_pad, CHUNK) f32 (RMW accumulator 0)
+    acc_buf1,        # VMEM scratch: (n_attr_pad, CHUNK) f32 (RMW accumulator 1)
     lt_ref,          # VMEM scratch: (1, PIX) f32 (log T *after* current chunk)
     s_ref,           # VMEM scratch: (1, PIX) f32 (suffix dot-product state)
-    sem_in,          # DMA semaphore (attr loads)
-    sem_acc,         # DMA semaphore (grad RMW loads)
-    sem_out,         # DMA semaphore (stores)
+    sem_in0,         # DMA semaphores (attr loads, per buffer)
+    sem_in1,
+    sem_acc0,        # DMA semaphores (grad RMW loads, per buffer)
+    sem_acc1,
+    sem_out0,        # DMA semaphores (stores, per buffer)
+    sem_out1,
     *,
     n_ch: int,
     tiles_x: int,
@@ -295,11 +351,11 @@ def _bwd_kernel(
     # Program 0 initializes the gradient accumulator (sequential grid).
     @pl.when(t == 0)
     def _memset():
-        acc_buf[:] = jnp.zeros_like(acc_buf)
+        acc_buf0[:] = jnp.zeros_like(acc_buf0)
 
         def zero_chunk(j, _):
             store = pltpu.make_async_copy(
-                acc_buf, d_attrs.at[:, pl.ds(j * CHUNK, CHUNK)], sem_out
+                acc_buf0, d_attrs.at[:, pl.ds(j * CHUNK, CHUNK)], sem_out0
             )
             store.start()
             store.wait()
@@ -310,21 +366,85 @@ def _bwd_kernel(
     lower = _strict_lower(CHUNK)
     upper = _strict_upper(CHUNK)
 
+    # Double-buffered pipeline over descending chunk index i (parity i & 1):
+    # while chunk i computes, chunk i-1's attr + accumulator loads are in
+    # flight into the other buffers and chunk i+1's store drains. A store
+    # from buffer b must complete before the NEXT acc load overwrites b —
+    # body(i) waits store(i+1) (buffer 1-p) right before loading into 1-p.
+    abufs = (attr_buf0, attr_buf1)
+    asems = (sem_in0, sem_in1)
+    cbufs = (acc_buf0, acc_buf1)
+    csems = (sem_acc0, sem_acc1)
+    osems = (sem_out0, sem_out1)
+
+    def attr_start(i, parity, cond):
+        pos = jnp.maximum(start_chunk + i, 0) * CHUNK
+        for p in (0, 1):
+
+            @pl.when(jnp.logical_and(cond, parity == p))
+            def _():
+                pltpu.make_async_copy(
+                    attrs.at[:, pl.ds(pos, CHUNK)], abufs[p], asems[p]
+                ).start()
+
+    def acc_start(i, parity, cond):
+        pos = jnp.maximum(start_chunk + i, 0) * CHUNK
+        for p in (0, 1):
+
+            @pl.when(jnp.logical_and(cond, parity == p))
+            def _():
+                pltpu.make_async_copy(
+                    d_attrs.at[:, pl.ds(pos, CHUNK)], cbufs[p], csems[p]
+                ).start()
+
+    def _wait(bufs, sems, src, parity, cond):
+        for p in (0, 1):
+
+            @pl.when(jnp.logical_and(cond, parity == p))
+            def _():
+                pltpu.make_async_copy(
+                    src.at[:, pl.ds(jnp.int32(0), CHUNK)], bufs[p], sems[p]
+                ).wait()
+
+    def store_start(i, parity):
+        pos = (start_chunk + i) * CHUNK
+        for p in (0, 1):
+
+            @pl.when(parity == p)
+            def _():
+                pltpu.make_async_copy(
+                    cbufs[p], d_attrs.at[:, pl.ds(pos, CHUNK)], osems[p]
+                ).start()
+
+    def store_wait(parity, cond):
+        for p in (0, 1):
+
+            @pl.when(jnp.logical_and(cond, parity == p))
+            def _():
+                pltpu.make_async_copy(
+                    cbufs[p], d_attrs.at[:, pl.ds(jnp.int32(0), CHUNK)],
+                    osems[p],
+                ).wait()
+
+    first = done - 1
+    first_par = jax.lax.rem(jnp.maximum(first, 0), 2)
+    attr_start(first, first_par, done > 0)
+    acc_start(first, first_par, done > 0)
+
     def body(state):
         (i,) = state
         pos = (start_chunk + i) * CHUNK
-        load = pltpu.make_async_copy(
-            attrs.at[:, pl.ds(pos, CHUNK)], attr_buf, sem_in
-        )
-        load.start()
-        # Overlap: fetch the current gradient accumulator chunk.
-        acc_load = pltpu.make_async_copy(
-            d_attrs.at[:, pl.ds(pos, CHUNK)], acc_buf, sem_acc
-        )
-        acc_load.start()
-        load.wait()
+        parity = jax.lax.rem(i, 2)
+        # Prefetch chunk i-1's attrs; drain store(i+1) before its acc load
+        # reuses buffer 1-parity.
+        attr_start(i - 1, 1 - parity, i > 0)
+        store_wait(1 - parity, i < first)
+        acc_start(i - 1, 1 - parity, i > 0)
 
-        a = _transpose_mxu(attr_buf[:])  # (CHUNK, n_attr_pad)
+        _wait(abufs, asems, attrs, parity, True)
+        a0 = _transpose_mxu(attr_buf0[:])
+        a1 = _transpose_mxu(attr_buf1[:])
+        a = jnp.where(parity == 0, a0, a1)  # (CHUNK, n_attr_pad)
         alpha, _, dx, dy, exp_power = _chunk_alpha(a, px, py, pos, start, end)
         op = a[:, 5:6]
         ca = a[:, 2:3]
@@ -375,19 +495,25 @@ def _bwd_kernel(
         grad_tmp[:, 5:6] = d_op
         grad_tmp[:, 6 : 6 + n_ch] = d_chans
 
-        acc_load.wait()
-        acc_buf[:] = acc_buf[:] + _transpose_mxu(grad_tmp[:])
-        store = pltpu.make_async_copy(
-            acc_buf, d_attrs.at[:, pl.ds(pos, CHUNK)], sem_out
-        )
-        store.start()
-        store.wait()
+        _wait(cbufs, csems, d_attrs, parity, True)
+        g_acc = _transpose_mxu(grad_tmp[:])
+        for p in (0, 1):
+
+            @pl.when(parity == p)
+            def _():
+                cbufs[p][:] = cbufs[p][:] + g_acc
+
+        store_start(i, parity)
 
         s_ref[:] = s_ref[:] + jnp.sum(contrib, axis=0, keepdims=True)
         lt_ref[:] = lt_in
         return (i - 1,)
 
     jax.lax.while_loop(lambda s: s[0] >= 0, body, (done - 1,))
+
+    # Drain the final store (iteration 0, buffer 0) before the next grid
+    # step's acc load can touch the same chunk window.
+    store_wait(jnp.int32(0), done > 0)
 
 
 def composite_pairs_bwd(
@@ -419,10 +545,15 @@ def composite_pairs_bwd(
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((n_attr, CHUNK), jnp.float32),
+            pltpu.VMEM((n_attr, CHUNK), jnp.float32),
             pltpu.VMEM((CHUNK, n_attr), jnp.float32),
+            pltpu.VMEM((n_attr, CHUNK), jnp.float32),
             pltpu.VMEM((n_attr, CHUNK), jnp.float32),
             pltpu.VMEM((1, PIX), jnp.float32),
             pltpu.VMEM((1, PIX), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
