@@ -34,6 +34,9 @@ class DecoderSplattingCfg:
     # Per-gaussian tile-duplication cap (3x3 rect default). Splats larger
     # than the cap are truncated; smaller caps cut pair-sort time.
     max_tiles_per_gaussian: int = 9
+    # Static pair-buffer bound = factor * G for the tiled backend
+    # (real scenes measure ~2.4 pairs/gaussian at 256 px).
+    pair_budget_factor: float = 4.0
 
 
 @struct.dataclass
@@ -90,6 +93,7 @@ class DecoderSplatting:
             feature_sh,
             backend=self.cfg.backend,
             max_tiles_per_gaussian=self.cfg.max_tiles_per_gaussian,
+            pair_budget_factor=self.cfg.pair_budget_factor,
         )
 
         # (b, v, c, h, w) -> (b, v, h, w, c).

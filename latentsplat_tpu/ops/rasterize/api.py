@@ -55,6 +55,7 @@ def render(
     use_sh: bool = True,
     backend: Backend = "tiled",
     max_tiles_per_gaussian: int = 9,
+    pair_budget_factor: float = 4.0,
 ) -> RenderOutput:
     """Render each scene's gaussians to its V views.
 
@@ -131,6 +132,7 @@ def render(
             return composite_tiled(
                 sg, image_shape, bg_full,
                 max_tiles_per_gaussian=max_tiles_per_gaussian,
+                pair_budget_factor=pair_budget_factor,
             )
 
         return jax.lax.map(render_one, (ext_v, intr_v, near_v, far_v))

@@ -274,3 +274,36 @@ class TestPackedChannels:
         # Geometry-derived outputs are exact; channel outputs are bf16-close.
         np.testing.assert_allclose(np.asarray(packed[1]), np.asarray(exact[1]), atol=1e-6)
         np.testing.assert_allclose(np.asarray(packed[0]), np.asarray(exact[0]), atol=2e-2)
+
+
+class TestPairBudget:
+    def test_small_budget_truncates_gracefully(self):
+        """A pair budget below the real pair count must still produce
+        finite images/gradients (farther pairs dropped, no crash)."""
+        means, covs, ops, channels = make_gaussians(jax.random.PRNGKey(11), 64)
+        sg = project(means, covs, ops, channels)
+        bg = jnp.zeros((sg.num_channels,), jnp.float32)
+
+        def loss(op):
+            img, mask, _ = composite_tiled(
+                sg.replace(opacity=op), (H, W), bg,
+                pack_channels=False, pair_budget_factor=0.25,
+            )
+            return jnp.sum(img) + jnp.sum(mask)
+
+        g = jax.grad(loss)(sg.opacity)
+        assert np.isfinite(np.asarray(g)).all()
+
+    def test_large_budget_matches_default(self):
+        """Any budget >= the real pair count gives identical output."""
+        means, covs, ops, channels = make_gaussians(jax.random.PRNGKey(12), 48)
+        sg = project(means, covs, ops, channels)
+        bg = jnp.zeros((sg.num_channels,), jnp.float32)
+        a = composite_tiled(sg, (H, W), bg, pack_channels=False)
+        b = composite_tiled(
+            sg, (H, W), bg, pack_channels=False, pair_budget_factor=9.0
+        )
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), rtol=1e-6, atol=1e-6
+            )
