@@ -307,3 +307,26 @@ class TestPairBudget:
             np.testing.assert_allclose(
                 np.asarray(x), np.asarray(y), rtol=1e-6, atol=1e-6
             )
+
+
+class TestEmptyScenes:
+    def test_all_culled(self):
+        """Every gaussian behind the camera: empty tiles, zero done counts,
+        background-only output, zero gradients."""
+        means, covs, ops, channels = make_gaussians(jax.random.PRNGKey(13), 32)
+        means = means.at[:, 2].set(-5.0)  # all behind the camera
+        sg = project(means, covs, ops, channels)
+        bg = jnp.full((sg.num_channels,), 0.25, jnp.float32)
+
+        def loss(op):
+            img, mask, depth = composite_tiled(
+                sg.replace(opacity=op), (H, W), bg, pack_channels=False
+            )
+            return jnp.sum(img), (img, mask, depth)
+
+        (val, (img, mask, depth)), g = jax.value_and_grad(
+            loss, has_aux=True
+        )(sg.opacity)
+        np.testing.assert_allclose(np.asarray(img), 0.25, rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(mask), 0.0, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(g), 0.0, atol=1e-7)
