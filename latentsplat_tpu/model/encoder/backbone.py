@@ -11,6 +11,8 @@ Functional parity with reference src/model/encoder/backbone/:
     facebookresearch/dino so released weights can be converted; pretrained
     loading is gated behind a checkpoint path (no network in this
     environment).
+  * BackboneVit — the reference's HF-ViTModel variant (backbone_vit.py:27-103):
+    same DINO trunks, 768-wide token-MLP heads, interpolate upscaling default.
   * BackboneEnsemble — sum of component backbones (backbone __init__.py:31-56).
 
 All backbones: (B, H, W, d_in) -> (B, H*sf, W*sf, d_out).
@@ -52,12 +54,25 @@ class BackboneDinoCfg:
 
 
 @dataclass
+class BackboneVitCfg:
+    """HF-ViTModel-flavored backbone (reference backbone_vit.py:15-24):
+    same DINO-pretrained trunks, but fixed 768-wide token MLP heads and
+    `interpolate` upscaling by default."""
+
+    name: Literal["vit"] = "vit"
+    model: Literal["dino_vits16", "dino_vits8", "dino_vitb16", "dino_vitb8"] = (
+        "dino_vitb8"
+    )
+    upscale_mode: Literal["interpolate", "repeat"] = "interpolate"
+
+
+@dataclass
 class BackboneEnsembleCfg:
     name: Literal["ensemble"] = "ensemble"
     components: List["SingleBackboneCfg"] = field(default_factory=list)
 
 
-SingleBackboneCfg = Union[BackboneResnetCfg, BackboneDinoCfg]
+SingleBackboneCfg = Union[BackboneResnetCfg, BackboneDinoCfg, BackboneVitCfg]
 BackboneCfg = Union[SingleBackboneCfg, BackboneEnsembleCfg, List[SingleBackboneCfg]]
 
 
@@ -250,6 +265,46 @@ class BackboneDino(nn.Module):
         return local + global_token[:, None, None, :]
 
 
+class BackboneVit(nn.Module):
+    """Parity with reference BackboneViT (backbone_vit.py:27-103): the same
+    ViT trunk as the DINO backbone (the reference wraps HF ViTModel loaded
+    from the facebook/dino-* weights), but with 768-wide hidden layers in
+    the global/local token MLPs (hardcoded in the reference regardless of
+    model width) and `interpolate` upscaling by default."""
+
+    cfg: BackboneVitCfg
+    d_in: int
+    d_out: int
+    scale_factor: Fraction
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        assert self.d_in == 3
+        patch, dim, depth, heads = _VIT_SPECS[self.cfg.model]
+        b, h, w, _ = x.shape
+        assert h % patch == 0 and w % patch == 0
+
+        tokens = DinoViT(patch, dim, depth, heads, name="vit")(x)
+        global_token = nn.Sequential(
+            [nn.Dense(768), nn.relu, nn.Dense(self.d_out)], name="global_mlp"
+        )(tokens[:, 0])
+        local_tokens = nn.Sequential(
+            [nn.Dense(768), nn.relu, nn.Dense(self.d_out)], name="local_mlp"
+        )(tokens[:, 1:])
+
+        nh, nw = h // patch, w // patch
+        local = local_tokens.reshape(b, nh, nw, self.d_out)
+        out_hw = (get_integer(self.scale_factor * h), get_integer(self.scale_factor * w))
+        if self.cfg.upscale_mode == "interpolate":
+            local = resize_bilinear_align_corners(local, out_hw)
+        elif self.cfg.upscale_mode == "repeat":
+            reps = get_integer(self.scale_factor * patch)
+            local = jnp.repeat(jnp.repeat(local, reps, axis=1), reps, axis=2)
+        else:
+            raise ValueError(f"unknown upscale_mode {self.cfg.upscale_mode}")
+        return local + global_token[:, None, None, :]
+
+
 class BackboneEnsemble(nn.Module):
     cfg: BackboneEnsembleCfg
     d_in: int
@@ -271,6 +326,7 @@ class BackboneEnsemble(nn.Module):
 _BACKBONES = {
     "resnet": BackboneResnet,
     "dino": BackboneDino,
+    "vit": BackboneVit,
     "ensemble": BackboneEnsemble,
 }
 

@@ -138,3 +138,22 @@ def test_opacity_mapping_identity_at_zero_exponent():
     out = enc.map_pdf_to_opacity(pdf, 0)
     # initial = final = 0 -> exponent 1 -> identity mapping.
     np.testing.assert_allclose(np.asarray(out), np.asarray(pdf), atol=1e-6)
+
+
+def test_backbone_vit_shapes():
+    """The `vit` backbone (reference backbone_vit.py) produces the same
+    output surface as the dino one: (B, H*sf, W*sf, d_out)."""
+    from latentsplat_tpu.model.encoder.backbone import (
+        BackboneVitCfg, get_backbone,
+    )
+
+    cfg = BackboneVitCfg(model="dino_vits16", upscale_mode="interpolate")
+    bb = get_backbone(cfg, 3, 8, Fraction(1, 2))
+    x = jnp.zeros((1, 32, 32, 3))
+    params = bb.init(jax.random.PRNGKey(0), x)
+    y = bb.apply(params, x)
+    assert y.shape == (1, 16, 16, 8)
+    # 768-wide MLP hidden layers regardless of the 384-dim vits trunk
+    # (hardcoded in the reference).
+    k = params["params"]["Dense_0"]["kernel"]
+    assert k.shape == (384, 768)
