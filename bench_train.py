@@ -25,9 +25,12 @@ ITERS = 4
 def main() -> None:
     full = "--full" in sys.argv
     size = 256 if full else 128
-    # 256px batch 2 (the reference's per-A100-40GB shape) exceeds a 16 GB
-    # v5e by ~3 GB without rematerialization; --full runs batch 1.
+    # The reference's per-A100-40GB shape is 256px batch 2 (README.md:63-69);
+    # with model.remat + decoder.remat it fits a 16 GB v5e chip:
+    # `--full --batch 2`.
     batch = 1
+    if "--batch" in sys.argv:
+        batch = int(sys.argv[sys.argv.index("--batch") + 1])
 
     from __graft_entry__ import _arc_batch, _flagship_model
     from latentsplat_tpu.loss.losses import get_loss_group
@@ -47,6 +50,9 @@ def main() -> None:
         f"dataset.image_shape=[{size},{size}]",
         # 256px activations exceed 16 GB HBM without rematerialization.
         f"model.remat={'true' if full else 'false'}",
+        # Per-view rasterizer residuals (~160 MB/view) are the next-largest
+        # block; recompute them in the backward at full scale.
+        f"model.decoder.remat={'true' if full else 'false'}",
         # Activate the full objective from step 0 (the reference's late-
         # schedule losses are the expensive ones).
         "loss.target_render_image.nll=[{name: mse, weight: 10}, {name: lpips, weight: 0.5}]",

@@ -37,6 +37,10 @@ class DecoderSplattingCfg:
     # Static pair-buffer bound = factor * G for the tiled backend
     # (real scenes measure ~2.4 pairs/gaussian at 256 px).
     pair_budget_factor: float = 4.0
+    # Rematerialize each view's render in the backward pass instead of
+    # saving its sorted pair buffer (~160 MB/view at the flagship scale);
+    # costs ~1 extra rasterizer forward per view in the backward.
+    remat: bool = False
 
 
 @struct.dataclass
@@ -94,6 +98,7 @@ class DecoderSplatting:
             backend=self.cfg.backend,
             max_tiles_per_gaussian=self.cfg.max_tiles_per_gaussian,
             pair_budget_factor=self.cfg.pair_budget_factor,
+            remat=self.cfg.remat,
         )
 
         # (b, v, c, h, w) -> (b, v, h, w, c).

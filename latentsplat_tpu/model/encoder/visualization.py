@@ -121,3 +121,195 @@ def export_gaussians_ply(
         np.asarray(gaussians.opacities)[0],
         Path(path),
     )
+
+
+def visualize_overlaps(
+    context: dict,
+    sampling,
+    downscale: int = 1,
+    is_monocular: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Valid-epipolar-sample masks per ordered view pair, green-tinted over
+    the other view (ref: encoder_visualizer_epipolar.py:238-275)."""
+    from ...misc.heterogeneous_pairings import generate_heterogeneous_index
+
+    images = np.asarray(context["image"])[0]              # (v, h, w, 3)
+    v, h, w = images.shape[:3]
+    valid = np.asarray(sampling.valid)[0].astype(np.float32)  # (v, ov, ray)
+    green = np.asarray([0.235, 0.706, 0.294], np.float32)
+
+    ds = downscale
+    valid = valid.reshape(v, -1, h // ds, w // ds)
+    valid = valid.repeat(ds, axis=-2).repeat(ds, axis=-1)  # (v, ov, h, w)
+
+    index, _ = generate_heterogeneous_index(v)
+    rows = []
+    for i in range(v):
+        tinted = [
+            valid[i, j, :, :, None] * (green + images[index[i, j]]) / 2
+            for j in range(valid.shape[1])
+        ]
+        rows.append(hcat(images[i], *tinted))
+    vis = add_label(vcat(*rows), "Context Overlaps")
+    if is_monocular is not None:
+        mono = np.asarray(is_monocular)[0].astype(np.float32)  # (v, h, w)
+        mono_imgs = [np.repeat(m[:, :, None], 3, axis=-1) for m in mono]
+        vis = hcat(vis, add_label(vcat(*mono_imgs), "Monocular?"))
+    return add_border(vis)
+
+
+def visualize_gaussians(
+    context: dict,
+    gaussians,
+    gaussians_per_pixel: int,
+) -> np.ndarray:
+    """Per-sample grids of opacity, DC color (raw and opacity-weighted), and
+    covariance determinant (ref: encoder_visualizer_epipolar.py:278-309).
+    Gaussians are ordered (v h w spp) like the encoder emits them."""
+    from ...visualization.color_map import apply_color_map
+
+    images = np.asarray(context["image"])[0]              # (v, h, w, 3)
+    v, h, w = images.shape[:3]
+    spp = gaussians_per_pixel
+
+    opac = np.asarray(gaussians.opacities)[0].reshape(v, h, w, spp)
+    colors = np.asarray(gaussians.color_harmonics)[0, :, :, 0]  # DC component
+    colors = colors.reshape(v, h, w, spp, 3)
+    det = np.linalg.det(np.asarray(gaussians.covariances)[0])
+    det = apply_color_map(det / max(det.max(), 1e-12), "turbo")
+    det = det.reshape(v, h, w, spp, 3)
+
+    def grid(x):  # (v, h, w, spp[, c]) -> rows per spp, cols per view
+        return vcat(*[
+            hcat(*[x[i, :, :, s] for i in range(v)]) for s in range(spp)
+        ])
+
+    opac_rgb = np.repeat(opac[..., None], 3, axis=-1)
+    return add_border(
+        hcat(
+            add_label(hcat(*images), "Context"),
+            add_label(grid(opac_rgb), "Opacities"),
+            add_label(grid(colors * opac[..., None]), "Colors"),
+            add_label(grid(colors), "Colors (Raw)"),
+            add_label(grid(det), "Determinant"),
+        )
+    )
+
+
+def _ray_and_sample_views(images, sampling, ray_indices):
+    """Shared scaffolding: rays drawn in view 0, per-ray colors."""
+    from ...visualization.colors import get_distinct_color
+
+    xy_ray = np.asarray(sampling.xy_ray)[0, 0]            # (ray, 2)
+    colors = np.asarray([get_distinct_color(i) for i in range(len(ray_indices))])
+    ray_view = draw_points(
+        images[0], xy_ray[ray_indices],
+        np.zeros((len(ray_indices), 3)), radius=4.0,
+    )
+    ray_view = draw_points(ray_view, xy_ray[ray_indices], colors, radius=3.0)
+    return ray_view, colors
+
+
+def visualize_probabilities(
+    context: dict,
+    sampling,
+    pdf: np.ndarray,          # (b, v, ray, sample)
+    num_rays: int = 8,
+) -> np.ndarray:
+    """Per-sample pdf painted along the epipolar segments, raw and per-ray
+    magnified (ref: encoder_visualizer_epipolar.py:310-381)."""
+    images = np.asarray(context["image"])[0]
+    n = np.asarray(sampling.xy_ray).shape[2]
+    ray_indices = np.linspace(0, n - 1, num_rays).astype(int)
+    ray_view, colors = _ray_and_sample_views(images, sampling, ray_indices)
+
+    near = np.asarray(sampling.xy_sample_near)[0, 0, 0, ray_indices]
+    far = np.asarray(sampling.xy_sample_far)[0, 0, 0, ray_indices]
+    p = np.asarray(pdf)[0, 0, ray_indices]                # (r, s)
+
+    def paint(weights):
+        seg_colors = (weights[:, :, None] * colors[:, None, :]).reshape(-1, 3)
+        return draw_lines(
+            images[1 % images.shape[0]],
+            near.reshape(-1, 2), far.reshape(-1, 2),
+            seg_colors, radius=3.0,
+        )
+
+    magnified = p / np.maximum(p.max(axis=1, keepdims=True), 1e-12)
+    return add_border(
+        hcat(
+            add_label(ray_view, "Rays"),
+            add_label(paint(p), "Samples"),
+            add_label(paint(magnified), "Samples (Magnified PDF)"),
+        )
+    )
+
+
+def visualize_attention_maps(
+    context: dict,
+    sampling,
+    attention: np.ndarray,    # (layer, head, ray, sample) for view 0 -> ov 0
+    num_rays: int = 8,
+) -> np.ndarray:
+    """Cross-attention weights painted along the epipolar segments, one
+    panel per (layer, head) (ref: encoder_visualizer_epipolar.py:137-210;
+    hooks become `capture_attention` + a reshape on the caller side)."""
+    images = np.asarray(context["image"])[0]
+    n = np.asarray(sampling.xy_ray).shape[2]
+    ray_indices = np.linspace(0, n - 1, num_rays).astype(int)
+    ray_view, colors = _ray_and_sample_views(images, sampling, ray_indices)
+
+    near = np.asarray(sampling.xy_sample_near)[0, 0, 0, ray_indices]
+    far = np.asarray(sampling.xy_sample_far)[0, 0, 0, ray_indices]
+    attention = np.asarray(attention)[:, :, ray_indices]
+
+    layer_panels = []
+    for il in range(attention.shape[0]):
+        head_panels = []
+        for ih in range(attention.shape[1]):
+            w = attention[il, ih]                          # (r, s)
+            seg_colors = (w[:, :, None] * colors[:, None, :]).reshape(-1, 3)
+            head_panels.append(
+                draw_lines(
+                    images[1 % images.shape[0]],
+                    near.reshape(-1, 2), far.reshape(-1, 2),
+                    seg_colors, radius=2.0,
+                )
+            )
+        layer_panels.append(add_label(vcat(*head_panels), f"Layer {il}"))
+    keys = add_label(add_border(hcat(*layer_panels)), "Keys & Values")
+    return add_border(hcat(add_label(ray_view, "Rays"), keys))
+
+
+def visualize_epipolar_color_samples(
+    context: dict,
+    num_rays: int = 8,
+    num_samples: int = 32,
+) -> np.ndarray:
+    """Epipolar samples colored by the RGB they sample from the other view
+    (ref: encoder_visualizer_epipolar.py:474-536): runs the sampler over
+    the raw images as features."""
+    from .epipolar_sampler import sample_epipolar_features
+
+    images = context["image"]
+    sampling = sample_epipolar_features(
+        images,
+        context["extrinsics"],
+        context["intrinsics"],
+        context["near"],
+        context["far"],
+        num_samples=num_samples,
+    )
+    imgs = np.asarray(images)[0]
+    n = np.asarray(sampling.xy_ray).shape[2]
+    ray_indices = np.linspace(0, n - 1, num_rays).astype(int)
+    ray_view, colors = _ray_and_sample_views(imgs, sampling, ray_indices)
+
+    xy = np.asarray(sampling.xy_sample)[0, 0, 0, ray_indices].reshape(-1, 2)
+    rgb = np.asarray(sampling.features)[0, 0, 0, ray_indices].reshape(-1, 3)
+    ring = np.repeat(colors, num_samples, axis=0)
+    sample_view = draw_points(imgs[1 % imgs.shape[0]], xy, ring, radius=4.0)
+    sample_view = draw_points(sample_view, xy, rgb, radius=3.0)
+    return add_border(
+        hcat(add_label(ray_view, "Ray View"), add_label(sample_view, "Sample View"))
+    )

@@ -56,11 +56,19 @@ def render(
     backend: Backend = "tiled",
     max_tiles_per_gaussian: int = 9,
     pair_budget_factor: float = 4.0,
+    remat: bool = False,
 ) -> RenderOutput:
     """Render each scene's gaussians to its V views.
 
     Returns RenderOutput with color (B, V, 3, H, W), feature (B, V, C, H, W),
     mask/depth (B, V, H, W).
+
+    `remat=True` rematerializes each view's render in the backward pass
+    (jax.checkpoint around the per-view body): the tiled backend's custom
+    VJP otherwise saves the sorted pair buffer per view (~pair_budget *
+    (n_attr + 2) f32 rows, ~160 MB/view at the flagship scale), and
+    lax.map stacks those residuals across views. Recomputing costs ~1
+    extra rasterizer forward per view in the backward.
     """
     assert gaussian_color_sh is not None or gaussian_feature_sh is not None
     if not use_sh:
@@ -135,7 +143,8 @@ def render(
                 pair_budget_factor=pair_budget_factor,
             )
 
-        return jax.lax.map(render_one, (ext_v, intr_v, near_v, far_v))
+        body = jax.checkpoint(render_one) if remat else render_one
+        return jax.lax.map(body, (ext_v, intr_v, near_v, far_v))
 
     # Scenes are mapped sequentially as well (batch is 1-2 in practice and
     # TPU grid programs execute serially per core, so there's nothing to

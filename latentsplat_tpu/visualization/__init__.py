@@ -1,5 +1,6 @@
 from .annotation import add_label
 from .color_map import apply_color_map_to_image, apply_depth_color_map
+from .colors import DISTINCT_COLORS, get_distinct_color
 from .layout import add_border, hcat, overlay, resize, vcat
 
 __all__ = [
@@ -11,4 +12,6 @@ __all__ = [
     "resize",
     "apply_color_map_to_image",
     "apply_depth_color_map",
+    "DISTINCT_COLORS",
+    "get_distinct_color",
 ]

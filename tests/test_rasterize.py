@@ -330,3 +330,31 @@ class TestEmptyScenes:
         np.testing.assert_allclose(np.asarray(img), 0.25, rtol=1e-6)
         np.testing.assert_allclose(np.asarray(mask), 0.0, atol=1e-7)
         np.testing.assert_allclose(np.asarray(g), 0.0, atol=1e-7)
+
+
+class TestRenderRemat:
+    def test_remat_identical_values_and_grads(self):
+        """render(remat=True) recomputes per-view pair buffers in the
+        backward; values and gradients must match remat=False exactly."""
+        means, covs, ops, channels = make_gaussians(jax.random.PRNGKey(31), 64)
+        color_sh = channels[:, :3][..., None]  # degree-0 SH
+        args = dict(
+            extrinsics=EXTRINSICS[None, None],
+            intrinsics=INTRINSICS[None, None],
+            near=jnp.full((1, 1), 0.5),
+            far=jnp.full((1, 1), 20.0),
+            image_shape=(H, W),
+            background_color=jnp.zeros((1, 3)),
+            gaussian_means=means[None],
+            gaussian_covariances=covs[None],
+            gaussian_color_sh=color_sh[None],
+        )
+
+        def loss(op, remat):
+            out = render(gaussian_opacities=op[None], remat=remat, **args)
+            return jnp.sum(out.color**2) + jnp.sum(out.mask * out.depth)
+
+        v0, g0 = jax.value_and_grad(lambda o: loss(o, False))(ops)
+        v1, g1 = jax.value_and_grad(lambda o: loss(o, True))(ops)
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v0), rtol=0, atol=0)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), rtol=0, atol=0)

@@ -152,3 +152,63 @@ def test_benchmarker(tmp_path):
     assert (tmp_path / "benchmark.json").exists()
     assert (tmp_path / "peak_memory.json").exists()
     assert set(b.summarize()) == {"op", "fn"}
+
+
+def test_encoder_visualizer_panels():
+    """All encoder-visualizer panels render on a tiny synthetic scene
+    (ref encoder_visualizer_epipolar.py surface: overlaps, gaussians,
+    probabilities, attention, color samples)."""
+    import jax
+    import jax.numpy as jnp
+    from types import SimpleNamespace
+
+    from latentsplat_tpu.model.encoder.epipolar_sampler import (
+        sample_epipolar_features,
+    )
+    from latentsplat_tpu.model.encoder.visualization import (
+        visualize_attention_maps,
+        visualize_epipolar_color_samples,
+        visualize_gaussians,
+        visualize_overlaps,
+        visualize_probabilities,
+    )
+
+    v, h, w, s = 2, 8, 8, 4
+    key = jax.random.PRNGKey(0)
+    images = jax.random.uniform(key, (1, v, h, w, 3))
+    ext = jnp.tile(jnp.eye(4)[None, None], (1, v, 1, 1))
+    ext = ext.at[0, 1, 0, 3].set(0.5)  # second camera offset in x
+    intr = jnp.tile(
+        jnp.asarray([[1.0, 0, 0.5], [0, 1.0, 0.5], [0, 0, 1.0]])[None, None],
+        (1, v, 1, 1),
+    )
+    near = jnp.full((1, v), 0.5)
+    far = jnp.full((1, v), 20.0)
+    ctx = {
+        "image": images, "extrinsics": ext, "intrinsics": intr,
+        "near": near, "far": far,
+    }
+    sampling = sample_epipolar_features(images, ext, intr, near, far, s)
+
+    g = v * h * w
+    gaussians = SimpleNamespace(
+        opacities=jax.random.uniform(key, (1, g)),
+        color_harmonics=jax.random.uniform(key, (1, g, 3, 1)),
+        covariances=jnp.tile(jnp.eye(3)[None, None], (1, g, 1, 1)) * 1e-3,
+    )
+
+    panels = [
+        visualize_overlaps(ctx, sampling),
+        visualize_gaussians(ctx, gaussians, gaussians_per_pixel=1),
+        visualize_probabilities(
+            ctx, sampling, np.ones((1, v, h * w, s)) / s, num_rays=4
+        ),
+        visualize_attention_maps(
+            ctx, sampling, np.ones((2, 2, h * w, s)) / s, num_rays=4
+        ),
+        visualize_epipolar_color_samples(ctx, num_rays=4, num_samples=s),
+    ]
+    for p in panels:
+        assert p.ndim == 3 and p.shape[-1] == 3
+        assert np.isfinite(p).all()
+        assert p.shape[0] > 8 and p.shape[1] > 8
