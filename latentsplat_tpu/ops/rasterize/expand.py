@@ -62,8 +62,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-GW = 256          # gaussians per input block
-OUT_BLOCK = 512   # pairs per expand output block (multiple of GW)
+GW = 128          # gaussians per input block
+OUT_BLOCK = 256   # pairs per expand output block (multiple of GW)
 CHUNK = 256       # pairs per adjoint input window
 N_FETCH = OUT_BLOCK // GW + 1
 
