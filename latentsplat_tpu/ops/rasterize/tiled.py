@@ -68,10 +68,15 @@ DEFAULT_MAX_TILES_PER_GAUSSIAN = 9
 DEFAULT_PAIR_BUDGET_FACTOR = 4.0
 
 # Payload rows per stable sort call. lax.sort compile time grows steeply
-# with operand count (17 operands failed to compile in 9 min on v5e, 7
-# payloads compile in ~90 s); runtime is insensitive to payload count, so
-# larger groups directly cut the number of sort passes.
+# with operand count (17 operands failed to compile in 9 min on v5e; 12
+# compile in ~150 s). Runtime scales with total payload bytes plus a
+# per-call cost (~0.6 ms at ~1.2M rows), but large many-operand sorts
+# also run slower per row: measured ms/pass for the 11-payload flagship
+# sort — 1.18M rows: one 12-op call 7.5 vs two grouped calls 8.2;
+# 1.57M rows: one call 11.6 vs grouped 10.7. So: single call for small
+# budgets, grouped calls above SINGLE_CALL_ROWS.
 SORT_GROUP = 7
+SINGLE_CALL_ROWS = 1_300_000
 
 RANK_BITS = 19  # G < 2^19 gaussians; composite key = tile << RANK_BITS | rank
 
@@ -96,10 +101,17 @@ def _grouped_sort(key: jnp.ndarray, rows: list) -> list:
 def _grouped_sort_with_key(key: jnp.ndarray, rows: list):
     """Like _grouped_sort but also returns the sorted key (for free from
     the first group call)."""
+    # Single call only when the operand count stays in the known-to-compile
+    # range (12 operands ~150 s; 17 never finished).
+    group_size = (
+        len(rows)
+        if key.shape[0] <= SINGLE_CALL_ROWS and len(rows) + 1 <= 12
+        else SORT_GROUP
+    )
     out = []
     sorted_key = None
-    for i in range(0, len(rows), SORT_GROUP):
-        group = rows[i : i + SORT_GROUP]
+    for i in range(0, len(rows), group_size):
+        group = rows[i : i + group_size]
         sorted_ops = jax.lax.sort((key, *group), num_keys=1, is_stable=True)
         if sorted_key is None:
             sorted_key = sorted_ops[0]
