@@ -549,3 +549,28 @@ def test_full_encoder_checkpoint_conversion_merges():
     np.testing.assert_allclose(
         merged["to_gaussians"]["bias"], sd["to_gaussians.1.bias"]
     )
+
+
+def test_convert_checkpoint_cli(tmp_path):
+    """The convert_checkpoint CLI maps a Lightning-style .ckpt onto an
+    orbax checkpoint with params_gen/params_disc sections."""
+    from latentsplat_tpu.scripts.convert_checkpoint import main as convert_main
+    from latentsplat_tpu.training.checkpointing import load_checkpoint
+
+    disc = make_torch_patchgan(in_ch=3, base=8, n_layers=3)
+    state_dict = {
+        f"discriminator.{k}": v for k, v in disc.state_dict().items()
+    }
+    ckpt = tmp_path / "released.ckpt"
+    torch.save({"state_dict": state_dict, "global_step": 123}, ckpt)
+
+    out = tmp_path / "converted"
+    convert_main([str(ckpt), str(out)])
+
+    restored = load_checkpoint(out)
+    assert "params_disc" in restored
+    conv0 = restored["params_disc"]["conv_0"]["kernel"]
+    np.testing.assert_allclose(
+        np.asarray(conv0),
+        np.transpose(disc.state_dict()["main.0.weight"].numpy(), (2, 3, 1, 0)),
+    )
