@@ -94,6 +94,12 @@ def test_test_renders_and_benchmark(tiny_run):
     assert pngs, "test mode must dump rendered target views"
     assert (root / "benchmark.json").exists()
     assert (root / "peak_memory.json").exists()
+    # The reference's timing tags (model_wrapper.py:529-560) so
+    # generate_benchmark_table-style tooling consumes the dump unchanged.
+    import json
+
+    bench = json.loads((root / "benchmark.json").read_text())
+    assert {"encoder", "decoder", "autoencoder_decoder"} <= set(bench)
 
 
 def test_resume_from_checkpoint(tiny_run, tmp_path):
