@@ -67,3 +67,55 @@ def test_replicate_sharding_is_full_copy():
     mesh = make_mesh(jax.devices()[:2])
     x = jax.device_put(jnp.ones((4,)), replicate_sharding(mesh))
     assert {s.data.shape for s in x.addressable_shards} == {(4,)}
+
+
+def test_view_parallel_render_matches_single_device():
+    """shard_map over the view axis renders identically to the plain path
+    (views independent, gaussians replicated)."""
+    import numpy as np
+    from latentsplat_tpu.ops.gaussians import build_covariance
+    from latentsplat_tpu.ops.rasterize import render
+    from latentsplat_tpu.parallel.mesh import make_mesh
+    from latentsplat_tpu.parallel.render import make_view_parallel_render
+
+    v = 8
+    ks = jax.random.split(jax.random.PRNGKey(7), 6)
+    n = 32
+    xy = jax.random.uniform(ks[0], (n, 2), minval=-0.4, maxval=0.4)
+    z = jax.random.uniform(ks[1], (n,), minval=2.0, maxval=5.0)
+    means = jnp.concatenate([xy * z[:, None], z[:, None]], axis=-1)
+    covs = build_covariance(
+        jax.random.uniform(ks[2], (n, 3), minval=0.05, maxval=0.15),
+        jax.random.normal(ks[3], (n, 4)),
+    )
+    cams = {
+        "extrinsics": jnp.tile(jnp.eye(4)[None, None], (1, v, 1, 1)),
+        "intrinsics": jnp.tile(
+            jnp.asarray([[1.0, 0, 0.5], [0, 1.0, 0.5], [0, 0, 1.0]])[None, None],
+            (1, v, 1, 1),
+        ),
+        "near": jnp.full((1, v), 0.5),
+        "far": jnp.full((1, v), 20.0),
+    }
+    gauss = {
+        "background_color": jnp.zeros((1, 3)),
+        "gaussian_means": means[None],
+        "gaussian_covariances": covs[None],
+        "gaussian_opacities": jax.random.uniform(ks[4], (n,), minval=0.3, maxval=0.9)[None],
+        "gaussian_color_sh": jax.random.normal(ks[5], (n, 3, 1))[None] * 0.3,
+        "gaussian_feature_sh": jax.random.normal(ks[5], (n, 2, 1))[None] * 0.3,
+    }
+
+    mesh = make_mesh()
+    fn = make_view_parallel_render(mesh, (16, 16), backend="dense")
+    sharded_out = fn(cams, gauss)
+    plain = render(
+        cams["extrinsics"], cams["intrinsics"], cams["near"], cams["far"],
+        (16, 16), backend="dense", **gauss,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded_out.color), np.asarray(plain.color), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded_out.mask), np.asarray(plain.mask), atol=1e-5
+    )

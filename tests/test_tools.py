@@ -270,3 +270,19 @@ def test_main_cli_arg_parsing():
     assert overrides == ["mode=test", "trainer.max_steps=5"]
     with pytest.raises(SystemExit):
         parse_args(["not-an-override"])
+
+
+def test_profiler_trace_and_annotation(tmp_path):
+    """jax.profiler wrapper captures a trace directory and annotations
+    work inside it (SURVEY.md §5 tracing equivalent)."""
+    import jax
+    import jax.numpy as jnp
+
+    from latentsplat_tpu.misc.profiler import annotate, trace
+
+    with trace(tmp_path / "trace"):
+        with annotate("tiny_matmul"):
+            out = jnp.ones((8, 8)) @ jnp.ones((8, 8))
+        jax.block_until_ready(out)
+    produced = list((tmp_path / "trace").rglob("*"))
+    assert produced, "trace must write profile artifacts"
