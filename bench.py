@@ -29,7 +29,7 @@ REFERENCE_VIEWS_PER_SEC = 100.0  # assumed A100 CUDA decoder timing anchor
 
 H = W = 256
 N_GAUSSIANS = 2 * 256 * 256 * 3
-N_VIEWS = 16         # views rendered per call (sequential lax.map inside one
+N_VIEWS = 32         # views rendered per call (sequential lax.map inside one
                      # jit call; more views amortize the ~25 ms axon-tunnel
                      # dispatch, matching test-time rendering of many targets)
 N_FEATURES = 4
