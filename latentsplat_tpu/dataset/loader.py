@@ -90,8 +90,122 @@ def make_loader(
     repeat: bool = False,
     drop_last: bool = True,
     prefetch: int = 2,
+    num_workers: int = 0,
+    seed: int = 0,
+    stage: str = "train",
 ) -> Iterator[Dict]:
+    """num_workers > 0 forks that many loader processes (the torch
+    DataLoader analog); 0 keeps the in-process thread-prefetch path."""
+    if num_workers > 0:
+        return MultiprocessLoader(
+            dataset, batch_size, num_workers=num_workers, repeat=repeat,
+            drop_last=drop_last, seed=seed, stage=stage,
+        )
     it = batch_iterator(dataset, batch_size, drop_last=drop_last, repeat=repeat)
     if prefetch > 0:
         return PrefetchIterator(it, depth=prefetch)
     return it
+
+
+# ---------------------------------------------------------------------------
+# Multi-process loading (the torch-DataLoader-workers analog)
+# ---------------------------------------------------------------------------
+
+
+def _compose_shard(dataset, worker_id: int, num_workers: int) -> None:
+    """Compose worker sharding with any existing (e.g. per-host) sharding:
+    worker w of host h reads chunks where i % (H*W) == h*W + w
+    (ref dataset_re10k.py:80-86 shards test chunks by worker)."""
+    if hasattr(dataset, "num_shards"):
+        base_idx = getattr(dataset, "shard_index", 0)
+        base_n = getattr(dataset, "num_shards", 1)
+        dataset.shard_index = base_idx * num_workers + worker_id
+        dataset.num_shards = base_n * num_workers
+
+
+def _worker_loop(
+    dataset, batch_size, drop_last, repeat, seed, worker_id, num_workers,
+    out_queue, stage,
+):
+    """Child-process body: seed (ref data_module.py:53-55), shard, iterate,
+    collate, push. Runs under fork, so `dataset` (incl. a multiprocessing
+    StepTracker for the view-sampler curriculum) is inherited."""
+    import random as _random
+
+    _random.seed(seed + worker_id)
+    np.random.seed((seed + worker_id) % (2**32))
+    if hasattr(dataset, "rng"):
+        dataset.rng = np.random.default_rng(seed + worker_id)
+    if stage == "test":
+        _compose_shard(dataset, worker_id, num_workers)
+
+    try:
+        while True:
+            buf = []
+            for example in dataset:
+                buf.append(example)
+                if len(buf) == batch_size:
+                    out_queue.put(collate(buf))
+                    buf = []
+            if buf and not drop_last:
+                out_queue.put(collate(buf))
+            if not repeat:
+                break
+    finally:
+        out_queue.put(None)
+
+
+class MultiprocessLoader:
+    """N forked worker processes each produce collated batches into a shared
+    queue (the reference's torch DataLoader with num_workers, seeding, and
+    per-worker test-chunk sharding, data_module.py:35-122). Batch order
+    across workers is nondeterministic, matching torch's multi-worker
+    semantics; within a worker, order follows its seeded shuffle."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        *,
+        num_workers: int,
+        repeat: bool = False,
+        drop_last: bool = True,
+        seed: int = 0,
+        stage: str = "train",
+        prefetch_per_worker: int = 2,
+    ):
+        import multiprocessing as mp
+
+        ctx = mp.get_context("fork")
+        self._queue = ctx.Queue(maxsize=max(2, prefetch_per_worker * num_workers))
+        self._procs = [
+            ctx.Process(
+                target=_worker_loop,
+                args=(dataset, batch_size, drop_last, repeat, seed, w,
+                      num_workers, self._queue, stage),
+                daemon=True,
+            )
+            for w in range(num_workers)
+        ]
+        for p in self._procs:
+            p.start()
+        self._live = num_workers
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        while self._live > 0:
+            item = self._queue.get()
+            if item is None:
+                self._live -= 1
+                continue
+            return item
+        raise StopIteration
+
+    def close(self) -> None:
+        for p in self._procs:
+            if p.is_alive():
+                p.terminate()
+        for p in self._procs:
+            p.join(timeout=5)

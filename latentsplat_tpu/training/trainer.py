@@ -116,9 +116,18 @@ class Trainer:
         return dataset
 
     def _loader(self, stage: str, batch_size: int, repeat: bool) -> Iterator:
+        lcfg = getattr(self.cfg.data_loader, stage)
+        # Forked loader workers only pay off for disk-backed datasets
+        # (chunk read + JPEG decode); the in-memory synthetic dataset
+        # stays on the thread-prefetch path.
+        num_workers = (
+            lcfg.num_workers if self.cfg.dataset.name != "synthetic" else 0
+        )
+        seed = lcfg.seed if lcfg.seed is not None else self.cfg.seed
         return make_loader(
             self._dataset(stage), batch_size, repeat=repeat,
             drop_last=stage == "train",
+            num_workers=num_workers, seed=seed, stage=stage,
         )
 
     def data_shim(self, batch: dict) -> dict:
