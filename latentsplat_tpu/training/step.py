@@ -101,9 +101,17 @@ class TrainState:
     step: jnp.ndarray  # int32 scalar
 
 
-def build_optimizers(model: LatentSplat, opt_cfg, effective_batch_size: int):
+def build_optimizers(
+    model: LatentSplat, opt_cfg, effective_batch_size: int, freeze=None
+):
     """Two Adam chains mirroring configure_optimizers
-    (ref: model_wrapper.py:959-984 + lr scaling at 249-263)."""
+    (ref: model_wrapper.py:959-984 + lr scaling at 249-263).
+
+    `freeze` (a FreezeCfg) zeroes updates for frozen module groups — the
+    optax analog of the reference's requires_grad_(False) freeze
+    (model_wrapper.py:58-75,215-223). freeze.decoder is a no-op here: the
+    splatting decoder is parameterless (the rasterizer has no weights).
+    """
     g = opt_cfg.generator
     generator_lr = g.lr * (effective_batch_size if g.scale_lr else 1.0)
     autoencoder_lr = g.autoencoder_lr * (
@@ -124,11 +132,21 @@ def build_optimizers(model: LatentSplat, opt_cfg, effective_batch_size: int):
             optax.scale_by_learning_rate(lr_schedule),
         )
 
+    frozen_groups = set()
+    if freeze is not None:
+        if freeze.encoder:
+            frozen_groups.add("encoder")
+        if freeze.autoencoder:
+            frozen_groups.add("autoencoder")
+
     def gen_labels(params):
+        def label_for(k):
+            if k in frozen_groups:
+                return "frozen"
+            return "autoencoder" if k == "autoencoder" else "rest"
+
         return {
-            k: jax.tree_util.tree_map(
-                lambda _: "autoencoder" if k == "autoencoder" else "rest", v
-            )
+            k: jax.tree_util.tree_map(lambda _, k=k: label_for(k), v)
             for k, v in params.items()
         }
 
@@ -136,6 +154,7 @@ def build_optimizers(model: LatentSplat, opt_cfg, effective_batch_size: int):
         {
             "rest": adam(warmup(generator_lr), g.betas),
             "autoencoder": adam(warmup(autoencoder_lr), g.autoencoder_betas),
+            "frozen": optax.set_to_zero(),
         },
         gen_labels,
     )
@@ -149,6 +168,8 @@ def build_optimizers(model: LatentSplat, opt_cfg, effective_batch_size: int):
             optax.scale_by_adam(b1=d.betas[0], b2=d.betas[1]),
             optax.scale_by_learning_rate(disc_lr),
         )
+        if freeze is not None and freeze.discriminator:
+            opt_disc = optax.set_to_zero()
     return opt_gen, opt_disc
 
 

@@ -152,7 +152,7 @@ class Trainer:
             jax.random.PRNGKey(cfg.seed), example_batch
         )
         self.opt_gen, self.opt_disc = build_optimizers(
-            self.model, cfg.optimizer, effective_batch
+            self.model, cfg.optimizer, effective_batch, freeze=cfg.freeze
         )
         state = TrainState(
             params_gen=params["generator"],

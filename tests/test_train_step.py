@@ -205,3 +205,72 @@ class TestRemat(TestFullVaeGan):
     # Don't rerun the inherited tests.
     test_full_step_runs_and_updates = None
     test_step_gating_masks_losses = None
+
+
+def test_freeze_zeroes_updates():
+    """freeze.encoder keeps encoder params bit-identical across a step
+    while unfrozen groups still update (ref model_wrapper.py:58-75)."""
+    from latentsplat_tpu.config import FreezeCfg
+
+    model_cfg = ModelCfg(
+        autoencoder=AutoencoderIdCfg(),
+        encoder=tiny_cfg(),
+        decoder=DecoderSplattingCfg(backend="dense"),
+        discriminator=None,
+        encode_latents=False,
+        supersampling_factor=1,
+        variational="gaussians",
+    )
+    loss_cfgs = {
+        "target_render_image": LossGroupCfg(nll=[LossCfg(name="mse", weight=1.0)]),
+    }
+    batch = make_batch(jax.random.PRNGKey(7), hw=32)
+
+    model = LatentSplat(cfg=model_cfg, background_color=(0.0, 0.0, 0.0))
+    losses = make_losses(loss_cfgs)
+    params = model.init_params(jax.random.PRNGKey(0), batch)
+    opt_gen, opt_disc = build_optimizers(
+        model, OptimizerCfg(), effective_batch_size=1,
+        freeze=FreezeCfg(encoder=True),
+    )
+    state = TrainState(
+        params_gen=params["generator"],
+        params_disc=params.get("discriminator"),
+        lpips_params=params["lpips"],
+        opt_gen=opt_gen.init(params["generator"]),
+        opt_disc=None,
+        step=jnp.asarray(0, jnp.int32),
+    )
+    step_fn = make_train_step(model, losses, opt_gen, opt_disc)
+    flags = make_step_flags(losses, 0)
+    new_state, _ = jax.jit(step_fn, static_argnums=(3,))(
+        state, batch, jax.random.PRNGKey(1), flags
+    )
+
+    before = jax.tree_util.tree_leaves(state.params_gen["encoder"])
+    after = jax.tree_util.tree_leaves(new_state.params_gen["encoder"])
+    for b, a in zip(before, after):
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+
+    # Contrast: the identical step WITHOUT freeze must move the encoder.
+    opt_gen2, _ = build_optimizers(model, OptimizerCfg(), effective_batch_size=1)
+    state2 = TrainState(
+        params_gen=params["generator"],
+        params_disc=params.get("discriminator"),
+        lpips_params=params["lpips"],
+        opt_gen=opt_gen2.init(params["generator"]),
+        opt_disc=None,
+        step=jnp.asarray(0, jnp.int32),
+    )
+    step_fn2 = make_train_step(model, losses, opt_gen2, None)
+    moved_state, _ = jax.jit(step_fn2, static_argnums=(3,))(
+        state2, batch, jax.random.PRNGKey(1), flags
+    )
+    moved = any(
+        np.abs(np.asarray(b) - np.asarray(a)).max() > 0
+        for b, a in zip(
+            jax.tree_util.tree_leaves(state2.params_gen["encoder"]),
+            jax.tree_util.tree_leaves(moved_state.params_gen["encoder"]),
+        )
+    )
+    assert moved
