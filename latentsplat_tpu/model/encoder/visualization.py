@@ -176,7 +176,7 @@ def visualize_gaussians(
     colors = np.asarray(gaussians.color_harmonics)[0, :, :, 0]  # DC component
     colors = colors.reshape(v, h, w, spp, 3)
     det = np.linalg.det(np.asarray(gaussians.covariances)[0])
-    det = apply_color_map(det / max(det.max(), 1e-12), "turbo")
+    det = apply_color_map(det / max(det.max(), 1e-12), "inferno")
     det = det.reshape(v, h, w, spp, 3)
 
     def grid(x):  # (v, h, w, spp[, c]) -> rows per spp, cols per view

@@ -36,7 +36,36 @@ def gray(x: np.ndarray) -> np.ndarray:
     return np.repeat(x[..., None], 3, axis=-1)
 
 
-_COLOR_MAPS = {"turbo": turbo, "gray": gray}
+# Inferno anchor colors at 9 evenly spaced stops (matplotlib's map sampled
+# coarsely); linear interpolation between stops. Used by the reference's
+# covariance-determinant panel (encoder_visualizer_epipolar.py:296).
+_INFERNO_STOPS = np.asarray(
+    [
+        [0.0015, 0.0005, 0.0139],
+        [0.1341, 0.0448, 0.3243],
+        [0.3415, 0.0622, 0.4291],
+        [0.5373, 0.1340, 0.4155],
+        [0.7293, 0.2123, 0.3325],
+        [0.8817, 0.3403, 0.2217],
+        [0.9672, 0.5194, 0.0584],
+        [0.9787, 0.7294, 0.2129],
+        [0.9884, 0.9984, 0.6449],
+    ],
+    np.float32,
+)
+
+
+def inferno(x: np.ndarray) -> np.ndarray:
+    """x in [0,1] (any shape) -> (..., 3) inferno RGB (piecewise-linear)."""
+    x = np.clip(np.asarray(x, np.float32), 0.0, 1.0)
+    pos = x * (len(_INFERNO_STOPS) - 1)
+    lo = np.floor(pos).astype(np.int32)
+    hi = np.minimum(lo + 1, len(_INFERNO_STOPS) - 1)
+    t = (pos - lo)[..., None]
+    return _INFERNO_STOPS[lo] * (1.0 - t) + _INFERNO_STOPS[hi] * t
+
+
+_COLOR_MAPS = {"turbo": turbo, "gray": gray, "inferno": inferno}
 
 
 def apply_color_map(x: np.ndarray, color_map: str = "turbo") -> np.ndarray:
