@@ -128,8 +128,9 @@ def _worker_loop(
     out_queue, stage,
 ):
     """Child-process body: seed (ref data_module.py:53-55), shard, iterate,
-    collate, push. Runs under fork, so `dataset` (incl. a multiprocessing
-    StepTracker for the view-sampler curriculum) is inherited."""
+    collate, push. Runs under forkserver, so `dataset` (incl. a
+    multiprocessing StepTracker for the view-sampler curriculum) arrives by
+    pickling and must stay numpy/IO-only — no JAX in workers."""
     import random as _random
 
     _random.seed(seed + worker_id)
@@ -156,11 +157,18 @@ def _worker_loop(
 
 
 class MultiprocessLoader:
-    """N forked worker processes each produce collated batches into a shared
-    queue (the reference's torch DataLoader with num_workers, seeding, and
+    """N worker processes each produce collated batches into a shared queue
+    (the reference's torch DataLoader with num_workers, seeding, and
     per-worker test-chunk sharding, data_module.py:35-122). Batch order
     across workers is nondeterministic, matching torch's multi-worker
-    semantics; within a worker, order follows its seeded shuffle."""
+    semantics; within a worker, order follows its seeded shuffle.
+
+    Workers start via the forkserver context: the server process is a fresh
+    interpreter, so workers never inherit the parent's JAX/XLA threads and
+    locks (a plain fork after JAX initialization can deadlock on them).
+    This requires the dataset to be picklable; all shipped datasets are, and
+    the shared-memory StepTracker pickles through Process construction so
+    the curriculum stays live in workers."""
 
     def __init__(
         self,
@@ -173,10 +181,11 @@ class MultiprocessLoader:
         seed: int = 0,
         stage: str = "train",
         prefetch_per_worker: int = 2,
+        mp_context: str = "forkserver",
     ):
         import multiprocessing as mp
 
-        ctx = mp.get_context("fork")
+        ctx = mp.get_context(mp_context)
         self._queue = ctx.Queue(maxsize=max(2, prefetch_per_worker * num_workers))
         self._procs = [
             ctx.Process(
@@ -196,7 +205,29 @@ class MultiprocessLoader:
 
     def __next__(self):
         while self._live > 0:
-            item = self._queue.get()
+            try:
+                item = self._queue.get(timeout=5.0)
+            except queue.Empty:
+                # A worker that died without its None sentinel (segfault,
+                # OOM kill) must not hang the consumer forever. A worker
+                # that is no longer alive can add nothing beyond what is
+                # already queued, so after one extra drain attempt any
+                # outstanding sentinels above the alive count are lost.
+                n_alive = sum(1 for p in self._procs if p.is_alive())
+                if self._live <= n_alive:
+                    continue
+                try:
+                    item = self._queue.get(timeout=1.0)
+                except queue.Empty:
+                    lost = self._live - n_alive
+                    self._live = n_alive
+                    import warnings
+
+                    warnings.warn(
+                        f"{lost} loader worker(s) died without a sentinel; "
+                        "continuing with the survivors"
+                    )
+                    continue
             if item is None:
                 self._live -= 1
                 continue

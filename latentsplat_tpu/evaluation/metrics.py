@@ -157,9 +157,11 @@ class DISTSNet(nn.Module):
         pools = [_L2Pool(name=f"pool_{s}") for s in range(1, len(_VGG16_STAGES))]
 
         def features(img):
-            img = (img - _IMAGENET_MEAN) / _IMAGENET_STD
+            # Stage-0 features are the RAW [0,1] image (DISTS_pytorch
+            # forward_once returns [x, relu1_2, ...] with x un-normalized);
+            # only the VGG trunk sees the ImageNet normalization.
             feats = [img]
-            h = img
+            h = (img - _IMAGENET_MEAN) / _IMAGENET_STD
             i = 0
             for stage, (n_convs, _) in enumerate(_VGG16_STAGES):
                 if stage > 0:

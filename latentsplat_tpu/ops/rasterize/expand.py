@@ -264,8 +264,12 @@ def reduce_by_counts(
     assert g_pad % GW == 0 and pair_budget % CHUNK == 0
     n_gblocks = g_pad // GW
     n_chunks = pair_budget // CHUNK
-    # A GW-gaussian block spans <= GW * max_count pairs; aligned windows add 1.
-    n_win = (GW * max_count) // CHUNK + 1
+    # A GW-gaussian block spans <= GW * max_count pairs. Windows are
+    # CHUNK-aligned starting at or before the block's first pair, so a block
+    # whose start is misaligned by up to CHUNK-1 needs ceil(span/CHUNK) + 1
+    # windows (floor undercovers whenever CHUNK does not divide the span and
+    # silently zeroes the tail gaussians' gradients).
+    n_win = -(-(GW * max_count) // CHUNK) + 1
 
     starts, offs = start_offsets(counts, GW)
     meta = jnp.zeros((8, g_pad), jnp.float32)

@@ -1,48 +1,29 @@
 """Global-step sharing with data-loader workers.
 
 Parity with reference src/misc/step_tracker.py:9-24 (shared-memory int64 +
-RLock). Our loader workers are threads or same-process generators by
-default, so a plain lock-guarded integer suffices; when multiprocessing
-loaders are used, the multiprocessing.Value path provides the same
-cross-process visibility.
+RLock). Always backed by a multiprocessing.Value so the view-sampler
+curriculum sees live step updates from any loader worker start method
+(thread, fork, forkserver, spawn): the shared segment plus its lock are
+picklable through Process construction, and in-process access costs only a
+lock acquire.
 """
 
 from __future__ import annotations
 
 import multiprocessing
-import threading
 
 
 class StepTracker:
-    def __init__(self, step_offset: int = 0, use_multiprocessing: bool = False):
+    def __init__(self, step_offset: int = 0):
         self.step_offset = step_offset
-        if use_multiprocessing:
-            self._value = multiprocessing.Value("q", 0)
-            self._lock = self._value.get_lock()
-
-            def get():
-                return self._value.value
-
-            def set_(v):
-                self._value.value = v
-
-        else:
-            self._raw = 0
-            self._lock = threading.Lock()
-
-            def get():
-                return self._raw
-
-            def set_(v):
-                self._raw = v
-
-        self._get = get
-        self._set = set_
+        # Must match the loader's start method: a SemLock from the default
+        # (fork) context cannot be pickled into a forkserver/spawn child.
+        self._value = multiprocessing.get_context("forkserver").Value("q", 0)
 
     def set_step(self, step: int) -> None:
-        with self._lock:
-            self._set(self.step_offset + step)
+        with self._value.get_lock():
+            self._value.value = self.step_offset + step
 
     def get_step(self) -> int:
-        with self._lock:
-            return self._get()
+        with self._value.get_lock():
+            return self._value.value

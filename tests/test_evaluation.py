@@ -48,6 +48,78 @@ def test_ssim_self_is_one_and_monotonic():
         prev = val
 
 
+def _skimage_ssim_oracle(gt, pred, win_size=11, sigma=1.5, data_range=1.0):
+    """Independent oracle replicating skimage.metrics.structural_similarity
+    with gaussian_weights=True (the reference's exact configuration,
+    src/evaluation/metrics.py:31-39): scipy gaussian_filter (sigma 1.5,
+    truncate 3.5 -> 11-tap kernel, reflect padding), sample-covariance
+    normalization NP/(NP-1) with NP = win^2, crop (win-1)//2 border, mean;
+    channels computed independently and averaged (channel_axis semantics)."""
+    from scipy.ndimage import gaussian_filter
+
+    pad = (win_size - 1) // 2
+    k1, k2 = 0.01, 0.03
+    c1 = (k1 * data_range) ** 2
+    c2 = (k2 * data_range) ** 2
+    cov_norm = win_size**2 / (win_size**2 - 1.0)
+
+    def one_channel(x, y):
+        filt = lambda a: gaussian_filter(  # noqa: E731
+            a, sigma=sigma, truncate=3.5, mode="reflect"
+        )
+        ux, uy = filt(x), filt(y)
+        vx = cov_norm * (filt(x * x) - ux * ux)
+        vy = cov_norm * (filt(y * y) - uy * uy)
+        vxy = cov_norm * (filt(x * y) - ux * uy)
+        s = ((2 * ux * uy + c1) * (2 * vxy + c2)) / (
+            (ux**2 + uy**2 + c1) * (vx + vy + c2)
+        )
+        return s[pad:-pad, pad:-pad].mean()
+
+    return np.mean(
+        [
+            one_channel(
+                gt[..., ch].astype(np.float64), pred[..., ch].astype(np.float64)
+            )
+            for ch in range(gt.shape[-1])
+        ]
+    )
+
+
+def test_ssim_matches_skimage_algorithm():
+    """Pin compute_ssim to the reference's skimage semantics via an
+    independent scipy implementation (skimage itself is not in this env)."""
+    rng = np.random.default_rng(3)
+    gt = rng.uniform(size=(3, 40, 56, 3)).astype(np.float32)
+    pred = np.clip(
+        gt + rng.normal(size=gt.shape) * np.asarray([0.02, 0.1, 0.35])[:, None, None, None],
+        0,
+        1,
+    ).astype(np.float32)
+    ours = np.asarray(compute_ssim(jnp.asarray(gt), jnp.asarray(pred)))
+    for i in range(gt.shape[0]):
+        want = _skimage_ssim_oracle(gt[i], pred[i])
+        np.testing.assert_allclose(ours[i], want, atol=1e-5)
+
+
+def test_ssim_structured_image_parity():
+    """Same parity on a smooth structured (non-noise) pair, where local
+    statistics behave very differently from white noise."""
+    yy, xx = np.mgrid[0:48, 0:48] / 48.0
+    gt = np.stack(
+        [np.sin(6 * xx) * np.cos(4 * yy) * 0.5 + 0.5,
+         xx * yy,
+         np.clip(xx + yy, 0, 1)],
+        axis=-1,
+    ).astype(np.float32)
+    pred = np.clip(gt * 0.9 + 0.03 * np.sin(20 * xx)[..., None], 0, 1).astype(
+        np.float32
+    )
+    ours = float(np.asarray(compute_ssim(jnp.asarray(gt), jnp.asarray(pred))))
+    want = _skimage_ssim_oracle(gt, pred)
+    np.testing.assert_allclose(ours, want, atol=1e-5)
+
+
 def test_dists_self_is_zero():
     rng = np.random.default_rng(0)
     gt = jnp.asarray(rng.uniform(size=(1, 32, 32, 3)).astype(np.float32))

@@ -144,6 +144,32 @@ class TestReduce:
         want = reduce_reference(d_pairs, counts)
         np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-5)
 
+    def test_misaligned_dense_block_coverage(self):
+        """Regression: a fully-dense block (all counts == max_count) whose
+        pair span starts CHUNK-misaligned must still be fully covered by the
+        adjoint's windows. With max_count=9, GW*max_count=1152 is not a
+        multiple of CHUNK=256; floor-division window counts undercover the
+        tail and silently zero its gradients."""
+        max_count = 9
+        counts = np.empty(2 * GW, np.int32)
+        # Block 0 sums to 456 => the dense block starts at offset 456,
+        # misaligned by 456 mod 256 = 200 > 256 - (1152 mod 256) = 128.
+        counts[:72] = 4
+        counts[72:GW] = 3
+        assert counts[:GW].sum() == 456
+        counts[GW:] = max_count  # dense block: spans the full GW*max_count
+        budget = round_up(int(counts.sum()), OUT_BLOCK)
+        rng = np.random.default_rng(11)
+        d_pairs = rng.standard_normal((16, budget)).astype(np.float32)
+        got = np.asarray(
+            reduce_by_counts(
+                jnp.asarray(d_pairs), jnp.asarray(counts), max_count,
+                interpret=True,
+            )
+        )
+        want = reduce_reference(d_pairs, counts)
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-5)
+
     def test_adjoint_property(self):
         """<expand(rows), d> == <rows, reduce(d)> on the linear rows."""
         rows, counts, start_row = make_case(7, 2 * GW)

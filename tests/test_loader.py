@@ -1,6 +1,9 @@
 """Loader tests: collation, thread prefetch, and the multiprocess path
-(the torch-DataLoader-workers analog: forked workers, per-worker seeding,
-composed test-chunk sharding)."""
+(the torch-DataLoader-workers analog: forkserver workers, per-worker
+seeding, composed test-chunk sharding, dead-worker recovery)."""
+
+import os
+import time
 
 import numpy as np
 
@@ -10,6 +13,7 @@ from latentsplat_tpu.dataset.loader import (
     collate,
     make_loader,
 )
+from latentsplat_tpu.training.step_tracker import StepTracker
 
 
 class RangeDataset:
@@ -77,6 +81,61 @@ def test_multiprocess_loader_test_stage_shards():
     # (ref dataset_re10k.py:80-86).
     assert values == list(range(16))
     assert shards == {0, 1}
+    loader.close()
+
+
+class DyingDataset:
+    """Yields two examples then hard-exits, simulating an OOM-killed worker
+    that never puts its None sentinel."""
+
+    def __iter__(self):
+        yield {"value": np.asarray([1], np.float32)}
+        yield {"value": np.asarray([2], np.float32)}
+        time.sleep(0.5)  # let the queue feeder thread flush the batch
+        os._exit(13)
+
+
+def test_dead_worker_does_not_hang():
+    loader = MultiprocessLoader(
+        DyingDataset(), batch_size=2, num_workers=1, repeat=False,
+        drop_last=True, seed=0, stage="train",
+    )
+    import warnings
+
+    start = time.monotonic()
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        batches = list(loader)
+    assert len(batches) == 1
+    assert time.monotonic() - start < 60.0
+    assert any("died without a sentinel" in str(w.message) for w in caught)
+    loader.close()
+
+
+class CurriculumDataset:
+    """Polls a shared StepTracker until the parent advances it, then emits
+    the observed step — proving the shared segment survives forkserver
+    pickling and stays live across processes."""
+
+    def __init__(self, tracker):
+        self.tracker = tracker
+
+    def __iter__(self):
+        deadline = time.monotonic() + 30.0
+        while self.tracker.get_step() == 0 and time.monotonic() < deadline:
+            time.sleep(0.01)
+        yield {"step": np.asarray([self.tracker.get_step()], np.int64)}
+
+
+def test_step_tracker_live_in_workers():
+    tracker = StepTracker(step_offset=0)
+    loader = MultiprocessLoader(
+        CurriculumDataset(tracker), batch_size=1, num_workers=1,
+        repeat=False, drop_last=True, seed=0, stage="train",
+    )
+    tracker.set_step(42)
+    batch = next(loader)
+    assert int(batch["step"][0]) == 42
     loader.close()
 
 

@@ -388,6 +388,124 @@ def test_lpips_conversion_structure():
 
 
 # ---------------------------------------------------------------------------
+# DISTS (numeric parity vs a torch reimplementation of DISTS_pytorch)
+# ---------------------------------------------------------------------------
+
+
+class TorchL2Pool(torch.nn.Module):
+    """DISTS_pytorch L2pooling: 3-tap hann window (hanning(5)[1:-1]), grouped
+    conv stride 2 pad 1, sqrt(out + 1e-12)."""
+
+    def __init__(self, channels):
+        super().__init__()
+        a = np.hanning(5)[1:-1]
+        g = torch.tensor(np.outer(a, a) / np.outer(a, a).sum(), dtype=torch.float32)
+        self.register_buffer("filter", g[None, None].repeat(channels, 1, 1, 1))
+
+    def forward(self, x):
+        out = torch.nn.functional.conv2d(
+            x**2, self.filter, stride=2, padding=1, groups=x.shape[1]
+        )
+        return (out + 1e-12).sqrt()
+
+
+class TorchDISTS(torch.nn.Module):
+    """DISTS_pytorch module layout: stage1..stage5 Sequentials over a VGG16
+    trunk with L2 pooling, plus alpha/beta weights of shape (1, 1475, 1, 1).
+    Forward follows DISTS_pt.py: feats[0] is the RAW input; mean/structure
+    similarities per stage, weighted by normalized alpha/beta."""
+
+    CHNS = [3, 64, 128, 256, 512, 512]
+
+    def __init__(self):
+        super().__init__()
+        conv = lambda ci, co: torch.nn.Conv2d(ci, co, 3, padding=1)  # noqa: E731
+        relu = torch.nn.ReLU
+        self.stage1 = torch.nn.Sequential(conv(3, 64), relu(), conv(64, 64), relu())
+        self.stage2 = torch.nn.Sequential(
+            TorchL2Pool(64), conv(64, 128), relu(), conv(128, 128), relu()
+        )
+        self.stage3 = torch.nn.Sequential(
+            TorchL2Pool(128), conv(128, 256), relu(), conv(256, 256), relu(),
+            conv(256, 256), relu(),
+        )
+        self.stage4 = torch.nn.Sequential(
+            TorchL2Pool(256), conv(256, 512), relu(), conv(512, 512), relu(),
+            conv(512, 512), relu(),
+        )
+        self.stage5 = torch.nn.Sequential(
+            TorchL2Pool(512), conv(512, 512), relu(), conv(512, 512), relu(),
+            conv(512, 512), relu(),
+        )
+        total = sum(self.CHNS)
+        self.alpha = torch.nn.Parameter(torch.rand(1, total, 1, 1) * 0.2)
+        self.beta = torch.nn.Parameter(torch.rand(1, total, 1, 1) * 0.2)
+        mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
+        std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
+        self.register_buffer("mean", mean)
+        self.register_buffer("std", std)
+
+    def forward_once(self, x):
+        h = (x - self.mean) / self.std
+        feats = [x]
+        for stage in (self.stage1, self.stage2, self.stage3, self.stage4, self.stage5):
+            h = stage(h)
+            feats.append(h)
+        return feats
+
+    def forward(self, x, y):
+        f0, f1 = self.forward_once(x), self.forward_once(y)
+        c1 = c2 = 1e-6
+        w_sum = self.alpha.sum() + self.beta.sum()
+        alpha = torch.split(self.alpha / w_sum, self.CHNS, dim=1)
+        beta = torch.split(self.beta / w_sum, self.CHNS, dim=1)
+        dist1 = dist2 = 0
+        for k in range(len(self.CHNS)):
+            x_mean = f0[k].mean([2, 3], keepdim=True)
+            y_mean = f1[k].mean([2, 3], keepdim=True)
+            s1 = (2 * x_mean * y_mean + c1) / (x_mean**2 + y_mean**2 + c1)
+            dist1 = dist1 + (alpha[k] * s1).sum(1, keepdim=True)
+            x_var = ((f0[k] - x_mean) ** 2).mean([2, 3], keepdim=True)
+            y_var = ((f1[k] - y_mean) ** 2).mean([2, 3], keepdim=True)
+            xy_cov = (f0[k] * f1[k]).mean([2, 3], keepdim=True) - x_mean * y_mean
+            s2 = (2 * xy_cov + c2) / (x_var + y_var + c2)
+            dist2 = dist2 + (beta[k] * s2).sum(1, keepdim=True)
+        return (1 - (dist1 + dist2)).squeeze(-1).squeeze(-1).squeeze(-1)
+
+
+def test_dists_conversion_numeric_parity():
+    """convert_dists on a randomly-initialized DISTS_pytorch-layout module
+    must reproduce the torch score (scaled-down init keeps the random VGG
+    trunk numerically sane)."""
+    from latentsplat_tpu.evaluation.metrics import DISTSNet
+    from latentsplat_tpu.training.pretrained import convert_dists
+
+    torch.manual_seed(0)
+    ref = TorchDISTS()
+    with torch.no_grad():
+        for m in ref.modules():
+            if isinstance(m, torch.nn.Conv2d):
+                m.weight *= 0.3  # keep activations O(1) through 13 convs
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(size=(2, 64, 64, 3)).astype(np.float32)
+    y = np.clip(x + 0.2 * rng.standard_normal(x.shape), 0, 1).astype(np.float32)
+    with torch.no_grad():
+        want = ref(
+            torch.tensor(x.transpose(0, 3, 1, 2)),
+            torch.tensor(y.transpose(0, 3, 1, 2)),
+        ).numpy()
+
+    net = DISTSNet()
+    params = convert_dists(sd_numpy(ref))
+    got = np.asarray(net.apply({"params": params}, jnp.asarray(x), jnp.asarray(y)))
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=5e-4)
+    # Self-distance must be ~0 through the converted weights too.
+    self_d = np.asarray(net.apply({"params": params}, jnp.asarray(x), jnp.asarray(x)))
+    np.testing.assert_allclose(self_d, 0.0, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
 # Full latentSplat checkpoint converter (structural)
 # ---------------------------------------------------------------------------
 
