@@ -98,15 +98,26 @@ def main() -> None:
     times.sort()
     sec = times[len(times) // 2]
     print(f"step times: {['%.2f' % t for t in times]}", file=sys.stderr)
-    print(
-        json.dumps(
-            {
-                "metric": f"train_step_{size}px_batch{batch}_vae_gan",
-                "value": round(1.0 / sec, 3),
-                "unit": "steps/sec/chip",
-                "vs_baseline": round((1.0 / sec) / 1.0, 3),
-            }
-        )
+    result = {
+        "metric": f"train_step_{size}px_batch{batch}_vae_gan",
+        "value": round(1.0 / sec, 3),
+        "unit": "steps/sec/chip",
+        # Anchor: the reference trains this shape on a 40 GB A100
+        # (README.md:63-69) and publishes no step timing; 1 step/s is the
+        # working anchor, on a 16 GB v5e.
+        "vs_baseline": round((1.0 / sec) / 1.0, 3),
+    }
+    print(json.dumps(result))
+    # Persist for bench.py to surface in the driver-visible headline line.
+    from pathlib import Path
+
+    out_dir = Path(__file__).resolve().parent / "benchmarks"
+    out_dir.mkdir(exist_ok=True)
+    record = dict(result)
+    record["device"] = f"{dev.platform}:{dev.device_kind}"
+    record["measured_unix"] = int(time.time())
+    (out_dir / f"train_step_{size}px_b{batch}.json").write_text(
+        json.dumps(record, indent=1)
     )
 
 

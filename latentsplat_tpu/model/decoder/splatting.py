@@ -41,6 +41,10 @@ class DecoderSplattingCfg:
     # saving its sorted pair buffer (~160 MB/view at the flagship scale);
     # costs ~1 extra rasterizer forward per view in the backward.
     remat: bool = False
+    # "fast" rides sorted rasterizer attributes at half precision (f16
+    # tile-relative coordinates, bf16 conic/opacity/channels) for ~33%
+    # less pair-sort payload; "exact" keeps geometry rows f32.
+    precision: str = "exact"
 
 
 @struct.dataclass
@@ -49,6 +53,9 @@ class DecoderOutput:
     feature_posterior: Optional[DiagonalGaussian]      # over (b, v, h, w, c)
     mask: jnp.ndarray                                  # (b, v, h, w)
     depth: jnp.ndarray                                 # (b, v, h, w)
+    # Tile pairs dropped by the tiled backend's static pair budget (b, v);
+    # nonzero means the render silently truncated (log it!).
+    pairs_dropped: Optional[jnp.ndarray] = None
 
 
 class DecoderSplatting:
@@ -99,6 +106,7 @@ class DecoderSplatting:
             max_tiles_per_gaussian=self.cfg.max_tiles_per_gaussian,
             pair_budget_factor=self.cfg.pair_budget_factor,
             remat=self.cfg.remat,
+            precision=self.cfg.precision,
         )
 
         # (b, v, c, h, w) -> (b, v, h, w, c).
@@ -121,7 +129,10 @@ class DecoderSplatting:
         else:
             posterior = None
 
-        dec = DecoderOutput(color=color, feature_posterior=posterior, mask=mask, depth=depth)
+        dec = DecoderOutput(
+            color=color, feature_posterior=posterior, mask=mask, depth=depth,
+            pairs_dropped=out.pairs_dropped,
+        )
         if depth_mode is not None and depth_mode != "depth":
             dec = dec.replace(
                 depth=self.render_special_depth(

@@ -28,7 +28,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ...misc.fraction_utils import get_integer
-from ...ops.interp import resize_bilinear_align_corners
+from ...ops.interp import resize_bicubic_torch, resize_bilinear_align_corners
 
 
 # ---------------------------------------------------------------------------
@@ -213,16 +213,22 @@ class DinoViT(nn.Module):
         cls = self.param("cls_token", nn.initializers.zeros, (1, 1, self.dim))
         cls = jnp.broadcast_to(cls, (b, 1, self.dim))
 
-        # Learned positional embedding defined on a base grid, bilinearly
-        # interpolated to the actual token grid (parity with DINO's
-        # interpolate_pos_encoding).
+        # Learned positional embedding defined on a base grid, interpolated
+        # to the actual token grid with torch-bicubic (a = -0.75) including
+        # DINO's +0.1 scale fudge — numeric parity with DINO's
+        # interpolate_pos_encoding (torch.hub vision_transformer.py, used by
+        # reference backbone_dino.py:213-287).
         base = 224 // p
         pos = self.param(
             "pos_embed", nn.initializers.normal(0.02), (1, base * base + 1, self.dim)
         )
         cls_pos, patch_pos = pos[:, :1], pos[:, 1:]
         patch_pos = patch_pos.reshape(1, base, base, self.dim)
-        patch_pos = resize_bilinear_align_corners(patch_pos, (nh, nw))
+        if (nh, nw) != (base, base):
+            patch_pos = resize_bicubic_torch(
+                patch_pos, (nh, nw),
+                scales=((nh + 0.1) / base, (nw + 0.1) / base),
+            )
         patch_pos = patch_pos.reshape(1, nh * nw, self.dim)
 
         tokens = jnp.concatenate([cls + cls_pos, tokens + patch_pos], axis=1)

@@ -110,9 +110,12 @@ class EncoderEpipolar(nn.Module):
             )(features, context["extrinsics"], context["intrinsics"],
               context["near"], context["far"])
 
-        if self.scale_factor == 1:
+        if self.scale_factor == 1 and (h, w) == context["image"].shape[2:4]:
             # High-resolution skip (only when no downscaling,
-            # ref: encoder_epipolar.py:104-111,157-161).
+            # ref: encoder_epipolar.py:104-111,157-161). When the encoder
+            # consumes AE latents the feature grid sits at latent
+            # resolution and the image-resolution skip cannot apply (the
+            # reference never combines encode_latents with scale 1 either).
             skip = context["image"].reshape(b * v, *context["image"].shape[2:])
             skip = nn.Conv(cfg.d_feature, (7, 7), padding=3,
                            name="high_resolution_skip")(skip)

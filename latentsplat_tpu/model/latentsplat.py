@@ -85,8 +85,18 @@ class LatentSplat:
         context = example_batch["context"]
         b, v, h, w, _ = context["image"].shape
 
+        init_features = None
+        if self.cfg.encode_latents:
+            # The encoder consumes AE latents, not pixels: init with the
+            # latent channel count / resolution or the backbone's input
+            # conv gets image-shaped parameters.
+            ds = self.autoencoder.downscale_factor
+            init_features = jnp.zeros(
+                (b * v, h // ds, w // ds, self.autoencoder.d_latent)
+            )
         enc_vars = self.encoder.init(
-            {"params": k_enc, "sample": k_sample}, context, 0
+            {"params": k_enc, "sample": k_sample}, context, 0,
+            features=init_features,
         )
         gen = {"encoder": enc_vars["params"]}
 
@@ -126,6 +136,10 @@ class LatentSplat:
         deterministic: bool = False,
     ) -> VariationalGaussians:
         rngs = {} if deterministic or rng is None else {"sample": rng}
+        if features is not None:
+            # Latent features arrive (b, v, h', w', c) from ae_encode; the
+            # encoder consumes a flattened view axis like the image path.
+            features = features.reshape((-1,) + features.shape[-3:])
         return self.encoder.apply(
             {"params": gen_params["encoder"]},
             context,

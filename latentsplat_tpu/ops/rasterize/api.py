@@ -57,6 +57,7 @@ def render(
     max_tiles_per_gaussian: int = 9,
     pair_budget_factor: float = 4.0,
     remat: bool = False,
+    precision: str = "exact",
 ) -> RenderOutput:
     """Render each scene's gaussians to its V views.
 
@@ -134,13 +135,25 @@ def render(
                 mns_s, covs_s, ops, channels, ext_s, intr, image_shape
             )
             if backend == "dense":
-                return composite_dense(sg, image_shape, bg_full)
-            from .tiled import composite_tiled
+                return (
+                    *composite_dense(sg, image_shape, bg_full),
+                    jnp.zeros((), jnp.int32),
+                )
+            from .tiled import composite_tiled, count_pair_overflow
 
-            return composite_tiled(
-                sg, image_shape, bg_full,
+            dropped = count_pair_overflow(
+                sg, image_shape,
                 max_tiles_per_gaussian=max_tiles_per_gaussian,
                 pair_budget_factor=pair_budget_factor,
+            )
+            return (
+                *composite_tiled(
+                    sg, image_shape, bg_full,
+                    max_tiles_per_gaussian=max_tiles_per_gaussian,
+                    pair_budget_factor=pair_budget_factor,
+                    precision=precision,
+                ),
+                dropped,
             )
 
         body = jax.checkpoint(render_one) if remat else render_one
@@ -169,15 +182,20 @@ def render(
 
     if b == 1:
         one = scene_fn(tuple(x[0] for x in scene_args))
-        imgs, masks, depths = jax.tree_util.tree_map(lambda x: x[None], one)
+        imgs, masks, depths, dropped = jax.tree_util.tree_map(
+            lambda x: x[None], one
+        )
     else:
-        imgs, masks, depths = jax.lax.map(scene_fn, tuple(scene_args))
+        imgs, masks, depths, dropped = jax.lax.map(scene_fn, tuple(scene_args))
 
     color = imgs[:, :, :n_color] if has_color else None
     feature = imgs[:, :, n_color:] if imgs.shape[2] > n_color else None
     # NOTE depth is in the scale-normalized space when scale_invariant=True,
     # exactly like the reference (render_cuda never un-normalizes depth_map).
-    return RenderOutput(color=color, feature=feature, mask=masks, depth=depths)
+    return RenderOutput(
+        color=color, feature=feature, mask=masks, depth=depths,
+        pairs_dropped=dropped,
+    )
 
 
 def render_depth(

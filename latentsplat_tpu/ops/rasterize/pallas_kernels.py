@@ -104,6 +104,20 @@ def _transpose_mxu(m: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def _mm(a: jnp.ndarray, b: jnp.ndarray, dims, fast: bool) -> jnp.ndarray:
+    """dot_general with f32 accumulation; `fast` feeds the MXU bf16 inputs
+    (native-rate matmuls, ~0.4% rel input quantization) instead of f32
+    multi-pass. Used for the per-chunk scan/channel matmuls, which dominate
+    the compositor's MXU time."""
+    if fast:
+        a = a.astype(jnp.bfloat16)
+        b = b.astype(jnp.bfloat16)
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(dims, ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
 def _chunk_alpha(attrs, px, py, chunk_offset, seg_start, seg_end):
     """Alpha [CHUNK, PIX] of one attribute chunk, with validity masking.
 
@@ -154,6 +168,7 @@ def _fwd_kernel(
     n_ch: int,
     tiles_x: int,
     n_chunks_total: int,
+    fast: bool,
 ):
     t = pl.program_id(0)
     start = tile_starts[t]
@@ -210,16 +225,12 @@ def _fwd_kernel(
         alpha, _, _, _, _ = _chunk_alpha(a, px, py, pos, start, end)
 
         la = jnp.log1p(-alpha)                      # (CHUNK, PIX), <= 0
-        excl = jnp.dot(lower, la, preferred_element_type=jnp.float32)
+        excl = _mm(lower, la, ((1,), (0,)), fast)
         lt = lt_ref[:]                              # (1, PIX)
         weight = alpha * jnp.exp(lt + excl)         # (CHUNK, PIX)
 
         chans = a[:, 6 : 6 + n_ch]                  # (CHUNK, n_ch)
-        acc = jax.lax.dot_general(
-            chans, weight,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                            # (n_ch, PIX)
+        acc = _mm(chans, weight, ((0,), (0,)), fast)  # (n_ch, PIX)
         out_ref[0, 0:n_ch, :] += acc
 
         lt_new = lt + jnp.sum(la, axis=0, keepdims=True)
@@ -258,6 +269,7 @@ def composite_pairs_fwd(
     tiles_x: int,
     tiles_y: int,
     interpret: bool = False,
+    fast: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Run the forward kernel. Returns (out_tiles [T, n_ch+1, PIX], done [T])."""
     num_tiles = tiles_x * tiles_y
@@ -278,7 +290,8 @@ def composite_pairs_fwd(
         ],
     )
     kernel = functools.partial(
-        _fwd_kernel, n_ch=n_ch, tiles_x=tiles_x, n_chunks_total=n_chunks_total
+        _fwd_kernel, n_ch=n_ch, tiles_x=tiles_x,
+        n_chunks_total=n_chunks_total, fast=fast,
     )
     out = pl.pallas_call(
         kernel,
@@ -327,6 +340,7 @@ def _bwd_kernel(
     n_ch: int,
     tiles_x: int,
     n_chunks_total: int,
+    fast: bool,
 ):
     t = pl.program_id(0)
     start = tile_starts[t]
@@ -455,14 +469,14 @@ def _bwd_kernel(
         total = jnp.sum(la, axis=0, keepdims=True)     # (1, PIX)
         lt_out = lt_ref[:]
         lt_in = lt_out - total
-        excl = jnp.dot(lower, la, preferred_element_type=jnp.float32)
+        excl = _mm(lower, la, ((1,), (0,)), fast)
         t_i = jnp.exp(lt_in + excl)                    # (CHUNK, PIX)
         w = alpha * t_i
 
         chans = a[:, 6 : 6 + n_ch]                     # (CHUNK, n_ch)
-        cg = jnp.dot(chans, g_ch, preferred_element_type=jnp.float32)
+        cg = _mm(chans, g_ch, ((1,), (0,)), fast)
         contrib = w * cg                               # (CHUNK, PIX)
-        suffix = jnp.dot(upper, contrib, preferred_element_type=jnp.float32)
+        suffix = _mm(upper, contrib, ((1,), (0,)), fast)
         s_full = suffix + s_ref[:]
 
         d_alpha = cg * t_i - s_full / (1.0 - alpha)
@@ -481,11 +495,7 @@ def _bwd_kernel(
         d_mx = jnp.sum((ca * dx + cb * dy) * d_pow, axis=1, keepdims=True)
         d_my = jnp.sum((cc * dy + cb * dx) * d_pow, axis=1, keepdims=True)
 
-        d_chans = jax.lax.dot_general(
-            w, g_ch,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                              # (CHUNK, n_ch)
+        d_chans = _mm(w, g_ch, ((1,), (1,)), fast)     # (CHUNK, n_ch)
 
         grad_tmp[:, 0:1] = d_mx
         grad_tmp[:, 1:2] = d_my
@@ -527,6 +537,7 @@ def composite_pairs_bwd(
     tiles_x: int,
     tiles_y: int,
     interpret: bool = False,
+    fast: bool = False,
 ) -> jnp.ndarray:
     """Run the backward kernel. Returns accumulated d_attrs_pairs."""
     num_tiles = tiles_x * tiles_y
@@ -560,7 +571,8 @@ def composite_pairs_bwd(
         ],
     )
     kernel = functools.partial(
-        _bwd_kernel, n_ch=n_ch, tiles_x=tiles_x, n_chunks_total=n_chunks_total
+        _bwd_kernel, n_ch=n_ch, tiles_x=tiles_x,
+        n_chunks_total=n_chunks_total, fast=fast,
     )
     d_attrs = pl.pallas_call(
         kernel,

@@ -42,6 +42,7 @@ non-differentiable, like the CUDA implementation.
 
 from __future__ import annotations
 
+import math
 from functools import partial
 
 import jax
@@ -95,28 +96,37 @@ def _grouped_sort(key: jnp.ndarray, rows: list) -> list:
     Stability guarantees all groups see the identical permutation even with
     duplicate keys.
     """
-    return _grouped_sort_with_key(key, rows)[1]
+    return _grouped_sort_with_keys((key,), rows)[1]
 
 
 def _grouped_sort_with_key(key: jnp.ndarray, rows: list):
     """Like _grouped_sort but also returns the sorted key (for free from
     the first group call)."""
-    # Single call only when the operand count stays in the known-to-compile
-    # range (12 operands ~150 s; 17 never finished).
+    keys, out = _grouped_sort_with_keys((key,), rows)
+    return keys[0], out
+
+
+def _grouped_sort_with_keys(keys: tuple, rows: list):
+    """Stable lexicographic sort of every row by one or more key rows,
+    grouped to keep lax.sort's operand count in the known-to-compile range
+    (12 operands ~150 s; 17 never finished). Returns (sorted_keys, rows)."""
+    nk = len(keys)
     group_size = (
         len(rows)
-        if key.shape[0] <= SINGLE_CALL_ROWS and len(rows) + 1 <= 12
+        if keys[0].shape[0] <= SINGLE_CALL_ROWS and len(rows) + nk <= 12
         else SORT_GROUP
     )
     out = []
-    sorted_key = None
+    sorted_keys = None
     for i in range(0, len(rows), group_size):
         group = rows[i : i + group_size]
-        sorted_ops = jax.lax.sort((key, *group), num_keys=1, is_stable=True)
-        if sorted_key is None:
-            sorted_key = sorted_ops[0]
-        out.extend(sorted_ops[1:])
-    return sorted_key, out
+        sorted_ops = jax.lax.sort(
+            (*keys, *group), num_keys=nk, is_stable=True
+        )
+        if sorted_keys is None:
+            sorted_keys = sorted_ops[:nk]
+        out.extend(sorted_ops[nk:])
+    return sorted_keys, out
 
 
 def _pack_bf16_pair(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -146,6 +156,30 @@ def _unpack_bf16_pair(packed: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return a, b
 
 
+def _pack_f16_pair(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Two f32 rows -> one f32 row of f16 bit patterns (10-bit mantissa:
+    ~8x finer than bf16 for small-range values like tile-relative pixel
+    coordinates)."""
+    lo = jax.lax.bitcast_convert_type(
+        a.astype(jnp.float16), jnp.uint16
+    ).astype(jnp.uint32)
+    hi = jax.lax.bitcast_convert_type(
+        b.astype(jnp.float16), jnp.uint16
+    ).astype(jnp.uint32)
+    return jax.lax.bitcast_convert_type(lo | (hi << 16), jnp.float32)
+
+
+def _unpack_f16_pair(packed: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    bits = jax.lax.bitcast_convert_type(packed, jnp.uint32)
+    a = jax.lax.bitcast_convert_type(
+        (bits & 0xFFFF).astype(jnp.uint16), jnp.float16
+    ).astype(jnp.float32)
+    b = jax.lax.bitcast_convert_type(
+        (bits >> 16).astype(jnp.uint16), jnp.float16
+    ).astype(jnp.float32)
+    return a, b
+
+
 def _depth_ranks(depth_key: jnp.ndarray) -> jnp.ndarray:
     """Exact depth rank per gaussian, computed with two sorts (no scatter)."""
     g = depth_key.shape[0]
@@ -161,18 +195,25 @@ def _pair_composite(payload, static):
 
     payload = (rows tuple (G,), counts (G,) int32, rank/base/nx (G,) int32);
     static = (n_ch, tiles_x, tiles_y, g, cap, n_attr, pack_channels,
-    pair_budget). The VJP owns the expansion + pair sort (forward) and the
-    gradient unsort + per-gaussian segment reduction (backward), keeping
-    slow gather/scatter lowerings out of the graph.
+    pair_budget, precision). The VJP owns the expansion + pair sort
+    (forward) and the gradient unsort + per-gaussian segment reduction
+    (backward), keeping slow gather/scatter lowerings out of the graph.
+
+    The primal (inference) path skips everything only the backward needs:
+    no pair-index operand rides the sort and no residuals are built.
     """
-    out, _ = _pair_composite_fwd(payload, static)
+    out, _ = _forward(payload, static, want_residuals=False)
     return out
 
 
 def _pair_composite_fwd(payload, static):
+    return _forward(payload, static, want_residuals=True)
+
+
+def _forward(payload, static, want_residuals: bool):
     rows, counts, rank, base, nx = payload
     (n_ch, tiles_x, tiles_y, g, cap, n_attr, pack_channels,
-     pair_budget) = static
+     pair_budget, precision) = static
     num_tiles = tiles_x * tiles_y
     interpret = _use_interpret()
     g_pad = _round_up(g, GW)
@@ -217,15 +258,62 @@ def _pair_composite_fwd(payload, static):
         base_e + slot % nx_e + (slot // nx_e) * tiles_x, 0, num_tiles
     )
     valid = pair_iota < total
-    key = jnp.where(
-        valid,
-        (tile << RANK_BITS) | rank_e,
-        (num_tiles + 1) << RANK_BITS,
-    )
+    # Packed keys (tile << RANK_BITS | rank) fit one i32 while G < 2^19;
+    # beyond that a stable two-key lexicographic sort (tile, rank) lifts
+    # the ceiling at the cost of one extra sort operand.
+    wide_ranks = g >= (1 << RANK_BITS)
+    if wide_ranks:
+        tile_key = jnp.where(valid, tile, num_tiles + 1)
+        sort_keys = (tile_key, rank_e)
+    else:
+        key = jnp.where(
+            valid,
+            (tile << RANK_BITS) | rank_e,
+            (num_tiles + 1) << RANK_BITS,
+        )
+        sort_keys = (key,)
 
     pair_rows = [expanded[i] for i in range(n_attr)]
+    # The backward needs the carried pair index to unsort gradients; the
+    # inference path drops the operand (~8% less sort payload).
+    carried = [pair_iota] if want_residuals else []
 
-    if pack_channels:
+    if precision == "fast":
+        # Fast mode: every attribute rides the sort half-precision, two per
+        # operand. Tile-relative x/y go as f16 pairs (10-bit mantissa:
+        # <=0.03 px at the <=64 px tile-relative range); conic/opacity and
+        # channels as bf16 pairs (~0.4% rel). Cuts the flagship sort from
+        # 12 to 8 operands. Unpacking happens after the sort in XLA — the
+        # compositor still sees f32 rows.
+        x_rel = pair_rows[0] - (tile % tiles_x).astype(jnp.float32) * TILE
+        y_rel = pair_rows[1] - (tile // tiles_x).astype(jnp.float32) * TILE
+        half_rows = [_pack_f16_pair(x_rel, y_rel)]
+        rest = pair_rows[2:]
+        if len(rest) % 2:
+            rest = rest + [jnp.zeros_like(rest[0])]
+        half_rows += [
+            _pack_bf16_pair(rest[i], rest[i + 1])
+            for i in range(0, len(rest), 2)
+        ]
+        sorted_keys, sorted_all = _grouped_sort_with_keys(
+            sort_keys, carried + half_rows
+        )
+        n_car = len(carried)
+        tile_s = (
+            sorted_keys[0]
+            if wide_ranks
+            else (sorted_keys[0] >> RANK_BITS)
+        ).astype(jnp.int32)
+        x_rel_s, y_rel_s = _unpack_f16_pair(sorted_all[n_car])
+        sorted_rows = [
+            x_rel_s + (tile_s % tiles_x).astype(jnp.float32) * TILE,
+            y_rel_s + (tile_s // tiles_x).astype(jnp.float32) * TILE,
+        ]
+        for packed in sorted_all[n_car + 1 :]:
+            a, b2 = _unpack_bf16_pair(packed)
+            sorted_rows.extend([a, b2])
+        sorted_rows = sorted_rows[:n_attr]
+    elif pack_channels:
         # Geometry rows (x, y, conic, opacity) ride the sort in f32; channel
         # rows are packed two-per-operand as bf16 bit patterns to cut the
         # sort call count (unpacked right after — the kernel still sees
@@ -239,36 +327,40 @@ def _pair_composite_fwd(payload, static):
             _pack_bf16_pair(chan_rows[i], chan_rows[i + 1])
             for i in range(0, len(chan_rows), 2)
         ]
-        sorted_keys, sorted_all = _grouped_sort_with_key(
-            key, [pair_iota] + geo_rows + packed_rows
+        sorted_keys, sorted_all = _grouped_sort_with_keys(
+            sort_keys, carried + geo_rows + packed_rows
         )
-        pair_perm = sorted_all[0]
-        sorted_rows = list(sorted_all[1 : 1 + n_geo])
-        for packed in sorted_all[1 + n_geo :]:
+        n_car = len(carried)
+        sorted_rows = list(sorted_all[n_car : n_car + n_geo])
+        for packed in sorted_all[n_car + n_geo :]:
             a, b2 = _unpack_bf16_pair(packed)
             sorted_rows.extend([a, b2])
         sorted_rows = sorted_rows[:n_attr]
     else:
-        sorted_keys, sorted_all = _grouped_sort_with_key(
-            key, [pair_iota] + pair_rows
+        sorted_keys, sorted_all = _grouped_sort_with_keys(
+            sort_keys, carried + pair_rows
         )
-        pair_perm = sorted_all[0]
-        sorted_rows = sorted_all[1 : 1 + n_attr]
+        n_car = len(carried)
+        sorted_rows = sorted_all[n_car : n_car + n_attr]
+    pair_perm = sorted_all[0] if want_residuals else None
 
     attrs_pairs = jnp.zeros((n_attr_pad, pair_budget), jnp.float32)
     attrs_pairs = attrs_pairs.at[:n_attr].set(jnp.stack(sorted_rows))
 
+    boundaries = jnp.arange(num_tiles + 1, dtype=jnp.int32)
+    if not wide_ranks:
+        boundaries = boundaries << RANK_BITS
     tile_starts = jnp.searchsorted(
-        sorted_keys,
-        (jnp.arange(num_tiles + 1, dtype=jnp.int32) << RANK_BITS),
-        side="left",
+        sorted_keys[0], boundaries, side="left"
     ).astype(jnp.int32)
 
     out_tiles, done = composite_pairs_fwd(
         attrs_pairs, tile_starts,
         n_ch=n_ch, tiles_x=tiles_x, tiles_y=tiles_y,
-        interpret=interpret,
+        interpret=interpret, fast=precision == "fast",
     )
+    if not want_residuals:
+        return out_tiles, None
     t_final = out_tiles[:, n_ch : n_ch + 1, :]
     residuals = (attrs_pairs, tile_starts, pair_perm, done, t_final, counts_p)
     return out_tiles, residuals
@@ -276,13 +368,13 @@ def _pair_composite_fwd(payload, static):
 
 def _pair_composite_bwd(static, residuals, g_tiles):
     (n_ch, tiles_x, tiles_y, g, cap, n_attr, pack_channels,
-     pair_budget) = static
+     pair_budget, precision) = static
     attrs_pairs, tile_starts, pair_perm, done, t_final, counts_p = residuals
     interpret = _use_interpret()
     d_pairs = composite_pairs_bwd(
         attrs_pairs, tile_starts, done, g_tiles, t_final,
         n_ch=n_ch, tiles_x=tiles_x, tiles_y=tiles_y,
-        interpret=interpret,
+        interpret=interpret, fast=precision == "fast",
     )
     # Unsort: stable-sorting gradient rows keyed by the carried pair index
     # applies the inverse permutation (no gather); then the reduce_by_counts
@@ -303,47 +395,17 @@ def _pair_composite_bwd(static, residuals, g_tiles):
 _pair_composite.defvjp(_pair_composite_fwd, _pair_composite_bwd)
 
 
-def composite_tiled(
-    sg: ScreenGaussians,
-    image_shape: tuple[int, int],
-    background: jnp.ndarray,  # (C,)
-    max_tiles_per_gaussian: int = DEFAULT_MAX_TILES_PER_GAUSSIAN,
-    pack_channels: bool = True,
-    pair_budget_factor: float = DEFAULT_PAIR_BUDGET_FACTOR,
-) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Composite one view's screen Gaussians with the tiled Pallas kernel.
+def _tile_rects(sg: ScreenGaussians, tiles_x: int, tiles_y: int, cap: int):
+    """Per-gaussian tile-rect bookkeeping: (counts, base, nx) int32 rows.
 
-    Returns (channels_img (C, H, W), mask (H, W), depth (H, W)) — the same
-    contract as `composite_dense`.
-
-    `pair_budget_factor` bounds the static pair-buffer size at
-    `factor * G` (XLA needs static shapes where CUDA allocates the exact
-    duplication count at runtime). Real scenes measure ~2.4 pairs per
-    gaussian at 256 px, so the default 4x never truncates in practice;
-    if it ever does, the pairs of the highest-indexed gaussians are
-    dropped.
+    Exact per-gaussian duplication counts. Dead gaussians emit ONE pair
+    with an invalid tile id: it sorts past every real segment (never
+    composited) and keeps counts >= 1, which bounds how many gaussian
+    blocks one expansion output block can span (see expand.py).
+    Indices come from non-differentiable copies (they carry no grads).
     """
-    h, w = image_shape
-    assert h % TILE == 0 and w % TILE == 0, "image dims must be multiples of 16"
-    tiles_x = w // TILE
-    tiles_y = h // TILE
     num_tiles = tiles_x * tiles_y
-    c = sg.num_channels
-    n_ch = c + 1  # + expected-depth channel
-    g = sg.num_gaussians
-    cap = max_tiles_per_gaussian
-    assert g < (1 << RANK_BITS), "gaussian count exceeds the rank-key budget"
-    assert num_tiles << RANK_BITS < (1 << 31), "too many tiles for int32 keys"
-    assert g * cap < (1 << 24), "pair offsets exceed exact-f32 range"
-    pair_budget = _round_up(
-        min(int(g * pair_budget_factor) + 1, g * cap), OUT_BLOCK
-    )
-
     alive = sg.radius > 0.0
-    depth_key = jnp.where(alive, sg.depth, jnp.inf)
-    rank = _depth_ranks(depth_key)
-
-    # Tile rects from non-differentiable copies (indices carry no grads).
     mean_nd = jax.lax.stop_gradient(sg.mean2d)
     radius_nd = jax.lax.stop_gradient(sg.radius)
     tx0 = jnp.clip(jnp.floor((mean_nd[:, 0] - radius_nd) / TILE), 0, tiles_x - 1)
@@ -356,13 +418,88 @@ def composite_tiled(
     ny = ty1 - ty0 + 1
     n_rect = nx * ny  # may exceed cap for huge splats (then truncated)
 
-    # Exact per-gaussian duplication counts. Dead gaussians emit ONE pair
-    # with an invalid tile id: it sorts past every real segment (never
-    # composited) and keeps counts >= 1, which bounds how many gaussian
-    # blocks one expansion output block can span (see expand.py).
     counts = jnp.where(alive, jnp.minimum(n_rect, cap), 1).astype(jnp.int32)
     base = jnp.where(alive, ty0 * tiles_x + tx0, num_tiles).astype(jnp.int32)
     nx_safe = jnp.where(alive, nx, 1).astype(jnp.int32)
+    return counts, base, nx_safe
+
+
+def count_pair_overflow(
+    sg: ScreenGaussians,
+    image_shape: tuple[int, int],
+    max_tiles_per_gaussian: int = DEFAULT_MAX_TILES_PER_GAUSSIAN,
+    pair_budget_factor: float = DEFAULT_PAIR_BUDGET_FACTOR,
+) -> jnp.ndarray:
+    """Number of tile pairs silently dropped by the static pair budget.
+
+    Truncation drops the highest-indexed gaussians' pairs (a quiet quality
+    cliff); callers should surface this counter in logs so real runs can
+    detect an undersized `pair_budget_factor`.
+    """
+    h, w = image_shape
+    tiles_x, tiles_y = w // TILE, h // TILE
+    cap = max_tiles_per_gaussian
+    g = sg.num_gaussians
+    counts, _, _ = _tile_rects(sg, tiles_x, tiles_y, cap)
+    budget_quantum = OUT_BLOCK * CHUNK // math.gcd(OUT_BLOCK, CHUNK)
+    pair_budget = _round_up(
+        min(int(g * pair_budget_factor) + 1, g * cap), budget_quantum
+    )
+    return jnp.maximum(counts.sum() - pair_budget, 0)
+
+
+def composite_tiled(
+    sg: ScreenGaussians,
+    image_shape: tuple[int, int],
+    background: jnp.ndarray,  # (C,)
+    max_tiles_per_gaussian: int = DEFAULT_MAX_TILES_PER_GAUSSIAN,
+    pack_channels: bool = True,
+    pair_budget_factor: float = DEFAULT_PAIR_BUDGET_FACTOR,
+    precision: str = "exact",
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Composite one view's screen Gaussians with the tiled Pallas kernel.
+
+    Returns (channels_img (C, H, W), mask (H, W), depth (H, W)) — the same
+    contract as `composite_dense`.
+
+    `pair_budget_factor` bounds the static pair-buffer size at
+    `factor * G` (XLA needs static shapes where CUDA allocates the exact
+    duplication count at runtime). Real scenes measure ~2.4 pairs per
+    gaussian at 256 px, so the default 4x never truncates in practice;
+    if it ever does, the pairs of the highest-indexed gaussians are
+    dropped (see `count_pair_overflow` for the observability hook).
+
+    `precision="fast"` rides every sorted attribute at half precision
+    (f16 tile-relative coordinates, bf16 conic/opacity/channels): ~0.03 px
+    coordinate and ~0.4% relative attribute error, for ~33% less sort
+    payload. "exact" keeps geometry rows f32 (channels bf16 unless
+    `pack_channels=False`, which is bit-exact vs the dense oracle).
+    """
+    h, w = image_shape
+    assert h % TILE == 0 and w % TILE == 0, "image dims must be multiples of 16"
+    tiles_x = w // TILE
+    tiles_y = h // TILE
+    c = sg.num_channels
+    n_ch = c + 1  # + expected-depth channel
+    g = sg.num_gaussians
+    cap = max_tiles_per_gaussian
+    num_tiles = tiles_x * tiles_y
+    if g < (1 << RANK_BITS):
+        # Packed single-key mode; above the ceiling _forward switches to a
+        # stable two-key (tile, rank) sort automatically.
+        assert num_tiles << RANK_BITS < (1 << 31), "too many tiles for int32 keys"
+    assert g * cap < (1 << 24), "pair offsets exceed exact-f32 range"
+    # The budget must tile under both the expansion output block and the
+    # compositor chunk (they are independent constants).
+    budget_quantum = OUT_BLOCK * CHUNK // math.gcd(OUT_BLOCK, CHUNK)
+    pair_budget = _round_up(
+        min(int(g * pair_budget_factor) + 1, g * cap), budget_quantum
+    )
+
+    alive = sg.radius > 0.0
+    depth_key = jnp.where(alive, sg.depth, jnp.inf)
+    rank = _depth_ranks(depth_key)
+    counts, base, nx_safe = _tile_rects(sg, tiles_x, tiles_y, cap)
 
     rows = tuple(
         [
@@ -380,7 +517,7 @@ def composite_tiled(
     out_tiles = _pair_composite(
         (rows, counts, rank, base, nx_safe),
         (n_ch, tiles_x, tiles_y, g, cap, len(rows), pack_channels,
-         pair_budget),
+         pair_budget, precision),
     )  # (T, n_ch + 1, PIX)
 
     # Un-tile: (T, row, PIX) -> (row, H, W).

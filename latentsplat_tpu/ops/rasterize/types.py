@@ -48,3 +48,8 @@ class RenderOutput:
     feature: Optional[jnp.ndarray]  # (..., C, H, W) or None
     mask: jnp.ndarray               # (..., H, W) accumulated alpha
     depth: jnp.ndarray              # (..., H, W) expected depth
+    # Tile pairs dropped by the tiled backend's static pair budget, per
+    # rendered view (0 everywhere unless the scene exceeds
+    # pair_budget_factor * G; surfaced so real runs can detect silent
+    # truncation). None for the dense backend.
+    pairs_dropped: Optional[jnp.ndarray] = None  # (..., ) int32

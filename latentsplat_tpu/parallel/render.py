@@ -68,7 +68,8 @@ def make_view_parallel_render(
 
 
 def _output_structure():
-    """Pytree skeleton of RenderOutput (color, feature, mask, depth)."""
+    """Pytree skeleton of RenderOutput (color, feature, mask, depth,
+    pairs_dropped)."""
     from ..ops.rasterize.types import RenderOutput
 
-    return RenderOutput(color=0, feature=0, mask=0, depth=0)
+    return RenderOutput(color=0, feature=0, mask=0, depth=0, pairs_dropped=0)

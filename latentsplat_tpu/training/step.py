@@ -232,6 +232,7 @@ def generator_forward(
 
     latents_to_decode = {}
     context_latents = None
+    rasterizer_dropped = None
 
     if flags.context or (
         cfg.encode_latents
@@ -257,28 +258,22 @@ def generator_forward(
             )
 
     if flags.needs_render:
-        encode = model.apply_encoder
+        def encode(p, c, s, k, f):
+            return model.apply_encoder(p, c, s, k, features=f, deterministic=False)
+
         if cfg.remat:
-            assert not cfg.encode_latents, "remat + encode_latents unsupported"  
             # Rematerialize the encoder's activations in the backward pass
             # (jax.checkpoint): DINO + epipolar transformer activations
             # dominate HBM at 256px (README.md:63-67's 40 GB footprint).
-            encode = jax.checkpoint(
-                lambda p, c, s, k: model.apply_encoder(
-                    p, c, s, k, deterministic=False
-                ),
-                static_argnums=(),
-            )
-            gaussians = encode(params_gen, batch["context"], step, k_enc)
-        else:
-            gaussians = encode(
-                params_gen,
-                batch["context"],
-                step,
-                k_enc,
-                features=context_latents if cfg.encode_latents else None,
-                deterministic=False,
-            )
+            # Latent features (encode_latents) ride as a checkpointed input.
+            encode = jax.checkpoint(encode)
+        gaussians = encode(
+            params_gen,
+            batch["context"],
+            step,
+            k_enc,
+            context_latents if cfg.encode_latents else None,
+        )
         if flags.gaussian:
             preds["gaussian"] = preds["gaussian"].replace(
                 posterior=gaussians.feature_harmonics
@@ -295,6 +290,11 @@ def generator_forward(
             return_colors=flags.target_render_image,
             return_features=flags.target_render_latent or flags.target_combined,
         )
+        # Truncation observability: nonzero means the static pair budget
+        # silently dropped tile pairs this step (see tiled.py
+        # count_pair_overflow) — a quiet quality cliff worth alerting on.
+        if rendered.pairs_dropped is not None:
+            rasterizer_dropped = rendered.pairs_dropped.sum()
         preds["target_render_image"] = preds["target_render_image"].replace(
             image=rendered.color, depth=rendered.depth
         )
@@ -358,6 +358,8 @@ def generator_forward(
         lpips_fn = jax.checkpoint(lpips_fn)
     nll_total = jnp.asarray(0.0)
     logs: Dict[str, jnp.ndarray] = {}
+    if rasterizer_dropped is not None:
+        logs["rasterizer/pairs_dropped"] = rasterizer_dropped.astype(jnp.float32)
     group_nll = {}
     for name in GROUP_NAMES:
         if not flags[name]:

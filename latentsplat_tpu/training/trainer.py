@@ -280,14 +280,21 @@ class Trainer:
     # -- staged test path (timed like ref model_wrapper.py:529-560) ---------------
 
     @partial(jax.jit, static_argnums=(0, 4))
-    def _test_encode(self, params_gen, context, rng, deterministic: bool):
+    def _test_encode(
+        self, params_gen, context, rng, deterministic: bool, features=None
+    ):
         k_enc, k_gauss = jax.random.split(rng)
         gaussians = self.model.apply_encoder(
             params_gen, context, 0,
             None if deterministic else k_enc,
+            features=features,
             deterministic=deterministic,
         )
         return gaussians.mode() if deterministic else gaussians.sample(k_gauss)
+
+    @partial(jax.jit, static_argnums=(0,))
+    def _test_ae_encode(self, params_gen, images, rng):
+        return self.model.ae_encode(params_gen, images).sample(rng)
 
     @partial(jax.jit, static_argnums=(0, 3))
     def _test_splat(self, lowered, target, size):
@@ -326,10 +333,20 @@ class Trainer:
         size = self.model.scaled_size(
             self.model.scale_factor, target["image"].shape[-3:-1]
         )
-        k_enc, k_latent = jax.random.split(rng)
+        k_enc, k_latent, k_ae = jax.random.split(rng, 3)
+        context_latents = None
+        if self.model.cfg.encode_latents:
+            # Encoder consumes AE latents instead of pixels; timed under the
+            # reference's autoencoder_encoder tag (model_wrapper.py:529-534,
+            # per context view).
+            context_latents = benchmarker.time_fn(
+                "autoencoder_encoder", self._test_ae_encode, params_gen,
+                batch["context"]["image"], k_ae,
+                num_calls=batch["context"]["image"].shape[1],
+            )
         lowered = benchmarker.time_fn(
             "encoder", self._test_encode, params_gen, batch["context"],
-            k_enc, deterministic,
+            k_enc, deterministic, context_latents,
         )
         rendered = benchmarker.time_fn(
             "decoder", self._test_splat, lowered, target, size, num_calls=v,
@@ -338,6 +355,14 @@ class Trainer:
             "autoencoder_decoder", self._test_ae_decode, params_gen,
             rendered, k_latent, deterministic, num_calls=v,
         )
+        if rendered.pairs_dropped is not None:
+            dropped = int(jnp.sum(rendered.pairs_dropped))
+            if dropped > 0:
+                print(
+                    f"WARNING: rasterizer pair budget truncated {dropped} "
+                    "tile pairs this scene — raise "
+                    "model.decoder.pair_budget_factor"
+                )
         return {
             "image": image,
             "render": rendered.color,

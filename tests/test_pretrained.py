@@ -351,6 +351,151 @@ def test_dino_block_conversion():
     np.testing.assert_allclose(np.asarray(out), ref, atol=5e-4, rtol=5e-4)
 
 
+class TestConvTransposeConversion:
+    """VERDICT item 3b: the conv_transpose_kernel spatial flip must make
+    flax nn.ConvTranspose reproduce torch ConvTranspose2d numerically for
+    the stride == kernel (non-overlapping) shape both upscalers use
+    (epipolar_transformer.py upscaler, image_self_attention resampler)."""
+
+    @pytest.mark.parametrize("cin,cout,k", [(6, 6, 4), (8, 5, 2), (3, 7, 8)])
+    def test_matches_torch(self, cin, cout, k):
+        import flax.linen as nn
+
+        from latentsplat_tpu.training.pretrained import conv_transpose_kernel
+
+        torch.manual_seed(k)
+        tm = torch.nn.ConvTranspose2d(cin, cout, k, stride=k).eval()
+        x = np.random.default_rng(k).standard_normal((2, 5, 6, cin)).astype(
+            np.float32
+        )
+        with torch.no_grad():
+            want = tm(torch.tensor(x.transpose(0, 3, 1, 2))).numpy().transpose(
+                0, 2, 3, 1
+            )
+
+        fm = nn.ConvTranspose(cout, (k, k), strides=(k, k))
+        params = fm.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+        sd = sd_numpy(tm)
+        params = {
+            "kernel": conv_transpose_kernel(sd["weight"]),
+            "bias": sd["bias"],
+        }
+        got = np.asarray(fm.apply({"params": params}, jnp.asarray(x)))
+        np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+class TestBicubicResize:
+    """resize_bicubic_torch must reproduce torch F.interpolate bicubic
+    (align_corners=False, a=-0.75) including the explicit-scale_factor
+    coordinate mapping DINO relies on."""
+
+    @pytest.mark.parametrize("in_size,out_size", [(28, 32), (28, 8), (16, 57)])
+    def test_matches_torch_size_based(self, in_size, out_size):
+        from latentsplat_tpu.ops.interp import resize_bicubic_torch
+
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((1, in_size, in_size, 5)).astype(np.float32)
+        with torch.no_grad():
+            want = torch.nn.functional.interpolate(
+                torch.tensor(x.transpose(0, 3, 1, 2)),
+                size=(out_size, out_size),
+                mode="bicubic",
+                align_corners=False,
+            ).numpy().transpose(0, 2, 3, 1)
+        got = np.asarray(resize_bicubic_torch(jnp.asarray(x), (out_size, out_size)))
+        np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
+
+    def test_matches_torch_dino_scale_fudge(self):
+        """DINO passes scale_factor=(n+0.1)/base; torch then uses that exact
+        scale in the coordinate mapping, shifting the grid slightly vs the
+        size-based call."""
+        from latentsplat_tpu.ops.interp import resize_bicubic_torch
+
+        base, n = 28, 32
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal((1, base, base, 4)).astype(np.float32)
+        scale = (n + 0.1) / base
+        with torch.no_grad():
+            want = torch.nn.functional.interpolate(
+                torch.tensor(x.transpose(0, 3, 1, 2)),
+                scale_factor=(scale, scale),
+                mode="bicubic",
+            ).numpy().transpose(0, 2, 3, 1)
+        assert want.shape[1] == n
+        got = np.asarray(
+            resize_bicubic_torch(jnp.asarray(x), (n, n), scales=(scale, scale))
+        )
+        np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
+        # And the fudged grid genuinely differs from the size-based one.
+        size_based = np.asarray(resize_bicubic_torch(jnp.asarray(x), (n, n)))
+        assert np.abs(size_based - want).max() > 1e-4
+
+
+class TorchMiniDino(torch.nn.Module):
+    """facebookresearch/dino VisionTransformer layout at toy scale:
+    patch-embed conv, cls token, bicubic-interpolated pos embedding with
+    the +0.1 scale fudge, fused-qkv blocks, final LayerNorm."""
+
+    def __init__(self, patch=8, dim=16, depth=2, heads=4, base=28):
+        super().__init__()
+        self.patch_size = patch
+        self.patch_embed = torch.nn.Module()
+        self.patch_embed.proj = torch.nn.Conv2d(3, dim, patch, stride=patch)
+        self.cls_token = torch.nn.Parameter(torch.randn(1, 1, dim) * 0.02)
+        self.pos_embed = torch.nn.Parameter(
+            torch.randn(1, base * base + 1, dim) * 0.02
+        )
+        self.blocks = torch.nn.ModuleList(
+            [TorchDinoBlock(dim, heads) for _ in range(depth)]
+        )
+        self.norm = torch.nn.LayerNorm(dim, eps=1e-6)
+
+    def forward(self, x):
+        b, _, h, w = x.shape
+        tokens = self.patch_embed.proj(x).flatten(2).transpose(1, 2)
+        nh, nw = h // self.patch_size, w // self.patch_size
+        cls_pos, patch_pos = self.pos_embed[:, :1], self.pos_embed[:, 1:]
+        n = patch_pos.shape[1]
+        base = int(n**0.5)
+        dim = patch_pos.shape[-1]
+        if (nh, nw) != (base, base):
+            patch_pos = torch.nn.functional.interpolate(
+                patch_pos.reshape(1, base, base, dim).permute(0, 3, 1, 2),
+                scale_factor=((nh + 0.1) / base, (nw + 0.1) / base),
+                mode="bicubic",
+            )
+            assert patch_pos.shape[-2] == nh and patch_pos.shape[-1] == nw
+            patch_pos = patch_pos.permute(0, 2, 3, 1).reshape(1, -1, dim)
+        pos = torch.cat([cls_pos, patch_pos], dim=1)
+        cls = self.cls_token.expand(b, -1, -1)
+        x = torch.cat([cls, tokens], dim=1) + pos
+        for blk in self.blocks:
+            x = blk(x)
+        return self.norm(x)
+
+
+def test_full_dino_stack_conversion():
+    """VERDICT item 3c: a dino_vitb8-shaped (toy-width) full trunk through
+    convert_dino_vit vs the torch reimplementation, at a non-224 input so
+    the bicubic pos-embed interpolation is on the path."""
+    from latentsplat_tpu.model.encoder.backbone import DinoViT
+
+    patch, dim, depth, heads = 8, 16, 2, 4
+    torch.manual_seed(5)
+    tm = TorchMiniDino(patch, dim, depth, heads).eval()
+    x = np.random.default_rng(2).uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.tensor(x.transpose(0, 3, 1, 2))).numpy()
+
+    fm = DinoViT(patch, dim, depth, heads)
+    x_j = jnp.asarray(x)
+    params = fm.init(jax.random.PRNGKey(0), x_j)["params"]
+    trunk = convert_dino_vit(sd_numpy(tm), num_heads=heads)
+    params = merge_params(params, trunk)
+    got = np.asarray(fm.apply({"params": params}, x_j))
+    np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-3)
+
+
 # ---------------------------------------------------------------------------
 # LPIPS VGG
 # ---------------------------------------------------------------------------

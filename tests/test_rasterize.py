@@ -276,6 +276,160 @@ class TestPackedChannels:
         np.testing.assert_allclose(np.asarray(packed[0]), np.asarray(exact[0]), atol=2e-2)
 
 
+class TestFastPrecision:
+    def test_fast_mode_close_to_exact(self):
+        """precision='fast' (f16 tile-relative xy + bf16 conic/opacity/
+        channels through the sort) stays within half-precision error of the
+        exact path."""
+        n = 96
+        means, covs, ops, channels = make_gaussians(jax.random.PRNGKey(23), n)
+        sg = project(means, covs, ops, channels)
+        bg = jnp.zeros((channels.shape[-1],))
+        exact = composite_tiled(sg, (H, W), bg, pack_channels=False)
+        fast = composite_tiled(sg, (H, W), bg, precision="fast")
+        np.testing.assert_allclose(
+            np.asarray(fast[0]), np.asarray(exact[0]), atol=3e-2
+        )
+        np.testing.assert_allclose(
+            np.asarray(fast[1]), np.asarray(exact[1]), atol=2e-2
+        )
+        # Per-pixel relative depth error bounded by the bf16 quantization.
+        d_err = np.abs(np.asarray(fast[2]) - np.asarray(exact[2]))
+        assert float(np.median(d_err)) < 2e-2
+
+    def test_fast_mode_gradients_close(self):
+        n = 48
+        means, covs, ops, channels = make_gaussians(jax.random.PRNGKey(24), n)
+
+        def loss(ops_, precision):
+            sg = project(means, covs, ops_, channels)
+            img, mask, _ = composite_tiled(
+                sg, (H, W), jnp.zeros((channels.shape[-1],)),
+                precision=precision,
+            )
+            return jnp.sum(img**2) + jnp.sum(mask)
+
+        g_exact = jax.grad(lambda o: loss(o, "exact"))(ops)
+        g_fast = jax.grad(lambda o: loss(o, "fast"))(ops)
+        scale = float(jnp.abs(g_exact).max()) + 1e-8
+        np.testing.assert_allclose(
+            np.asarray(g_fast) / scale, np.asarray(g_exact) / scale, atol=3e-2
+        )
+
+
+class TestInferencePath:
+    def test_primal_matches_vjp_forward(self):
+        """The inference path (no carried pair index, no residuals) must
+        produce the same outputs as the forward of the differentiated path."""
+        n = 80
+        means, covs, ops, channels = make_gaussians(jax.random.PRNGKey(25), n)
+        sg = project(means, covs, ops, channels)
+        bg = jnp.zeros((channels.shape[-1],))
+
+        def run(ops_):
+            sg_ = project(means, covs, ops_, channels)
+            img, mask, depth = composite_tiled(sg_, (H, W), bg)
+            return img, mask, depth
+
+        primal = run(ops)
+        # Force the VJP forward via jax.vjp (residuals get built).
+        with_vjp, _ = jax.vjp(run, ops)
+        for a, b in zip(primal, with_vjp):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=0, atol=0
+            )
+
+
+class TestPairOverflowCounter:
+    def test_zero_when_budget_sufficient(self):
+        from latentsplat_tpu.ops.rasterize.tiled import count_pair_overflow
+
+        n = 64
+        means, covs, ops, channels = make_gaussians(jax.random.PRNGKey(26), n)
+        sg = project(means, covs, ops, channels)
+        assert int(count_pair_overflow(sg, (H, W), pair_budget_factor=9.0)) == 0
+
+    def test_counts_dropped_pairs(self):
+        import math
+
+        from latentsplat_tpu.ops.rasterize.expand import OUT_BLOCK
+        from latentsplat_tpu.ops.rasterize.pallas_kernels import CHUNK
+        from latentsplat_tpu.ops.rasterize.tiled import (
+            _tile_rects,
+            count_pair_overflow,
+        )
+
+        n = 512  # large enough that budget rounding can't hide truncation
+        means, covs, ops, channels = make_gaussians(jax.random.PRNGKey(27), n)
+        sg = project(means, covs, ops, channels)
+        counts, _, _ = _tile_rects(sg, W // 16, H // 16, 9)
+        total = int(counts.sum())
+        quantum = OUT_BLOCK * CHUNK // math.gcd(OUT_BLOCK, CHUNK)
+        budget = ((min(int(n * 1.0) + 1, n * 9) + quantum - 1)
+                  // quantum) * quantum
+        want = max(total - budget, 0)
+        assert want > 0, "fixture must actually overflow"
+        got = int(count_pair_overflow(sg, (H, W), pair_budget_factor=1.0))
+        assert got == want
+
+    def test_render_surfaces_counter(self):
+        means, covs, ops, _ = make_gaussians(jax.random.PRNGKey(28), 32)
+        out = render(
+            EXTRINSICS[None, None], INTRINSICS[None, None],
+            jnp.ones((1, 1)) * 0.5, jnp.ones((1, 1)) * 50.0,
+            (H, W), jnp.zeros((1, 3)),
+            means[None], covs[None], ops[None],
+            gaussian_color_sh=jax.random.normal(
+                jax.random.PRNGKey(29), (1, 32, 3, 1)
+            ),
+            use_sh=False,
+            pair_budget_factor=9.0,
+        )
+        assert out.pairs_dropped.shape == (1, 1)
+        assert int(out.pairs_dropped[0, 0]) == 0
+
+
+class TestWideRankKeys:
+    def test_two_key_path_matches_dense(self, monkeypatch):
+        """Force the two-key (tile, rank) sort path at a small scale by
+        shrinking the packed-key rank budget; results must still match the
+        dense oracle exactly."""
+        import latentsplat_tpu.ops.rasterize.tiled as tiled_mod
+
+        monkeypatch.setattr(tiled_mod, "RANK_BITS", 8)
+        n = 300  # >= 2^8 gaussians -> wide-rank keys
+        means, covs, ops, channels = make_gaussians(jax.random.PRNGKey(30), n)
+        sg = project(means, covs, ops, channels)
+        bg = jnp.zeros((channels.shape[-1],))
+        d_img, d_mask, d_depth = composite_dense(sg, (H, W), bg)
+        t_img, t_mask, t_depth = composite_tiled(
+            sg, (H, W), bg, pack_channels=False
+        )
+        np.testing.assert_allclose(np.asarray(t_img), np.asarray(d_img), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(t_mask), np.asarray(d_mask), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(t_depth), np.asarray(d_depth), atol=2e-3)
+
+    def test_beyond_packed_ceiling(self):
+        """G > 2^19 (the round-1 hard ceiling, VERDICT item 7): sub-pixel
+        splats keep the pair count manageable while the rank no longer fits
+        the packed key; the two-key path must match the dense oracle."""
+        n = 540_000  # > 524,288
+        means, covs, ops, channels = make_gaussians(
+            jax.random.PRNGKey(31), n, n_channels=1
+        )
+        # Shrink to mostly sub-pixel footprints so the interpret-mode pair
+        # pipeline stays fast.
+        covs = covs * 1e-3
+        sg = project(means, covs, ops, channels)
+        bg = jnp.zeros((1,))
+        d_img, d_mask, d_depth = composite_dense(sg, (H, W), bg)
+        t_img, t_mask, t_depth = composite_tiled(
+            sg, (H, W), bg, pack_channels=False, pair_budget_factor=1.5
+        )
+        np.testing.assert_allclose(np.asarray(t_img), np.asarray(d_img), atol=5e-4)
+        np.testing.assert_allclose(np.asarray(t_mask), np.asarray(d_mask), atol=5e-4)
+
+
 class TestPairBudget:
     def test_small_budget_truncates_gracefully(self):
         """A pair budget below the real pair count must still produce

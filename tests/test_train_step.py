@@ -207,6 +207,53 @@ class TestRemat(TestFullVaeGan):
     test_step_gating_masks_losses = None
 
 
+class TestEncodeLatents:
+    """encode_latents=true: the encoder consumes AE latents instead of
+    pixels (ref model_wrapper.py:334-350), including under remat."""
+
+    def _cfg(self, remat):
+        ae_cfg = AutoencoderKLCfg(
+            block_out_channels=[8, 16],
+            layers_per_block=1,
+            latent_channels=2,
+            skip_connections=False,
+            pretrained=False,
+        )
+        return ModelCfg(
+            autoencoder=ae_cfg,
+            encoder=tiny_cfg(),
+            decoder=DecoderSplattingCfg(backend="dense"),
+            discriminator=None,
+            encode_latents=True,
+            supersampling_factor=1,
+            variational="gaussians",
+            remat=remat,
+        )
+
+    @pytest.mark.parametrize("remat", [False, True])
+    def test_step_runs_with_latent_input(self, remat):
+        loss_cfgs = {
+            "target_render_image": LossGroupCfg(
+                nll=[LossCfg(name="mse", weight=1.0)]
+            ),
+        }
+        batch = make_batch(jax.random.PRNGKey(11), hw=32)
+        model, losses, state, step_fn = build(self._cfg(remat), loss_cfgs, batch)
+        # encode_latents wires the encoder input width to the latent count.
+        assert model.encoder.d_in == 2
+        flags = make_step_flags(losses, 0)
+        new_state, logs = step_fn(state, batch, jax.random.PRNGKey(3), flags)
+        assert bool(jnp.isfinite(logs["generator/total"]))
+        leaves = jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(
+                lambda a, b: jnp.any(a != b),
+                state.params_gen["encoder"],
+                new_state.params_gen["encoder"],
+            )
+        )
+        assert any(bool(x) for x in leaves)
+
+
 def test_freeze_zeroes_updates():
     """freeze.encoder keeps encoder params bit-identical across a step
     while unfrozen groups still update (ref model_wrapper.py:58-75)."""

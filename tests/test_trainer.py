@@ -102,6 +102,24 @@ def test_test_renders_and_benchmark(tiny_run):
     assert {"encoder", "decoder", "autoencoder_decoder"} <= set(bench)
 
 
+def test_encode_latents_emits_autoencoder_encoder_tag(tmp_path):
+    """encode_latents=true times the context AE encode under the reference's
+    autoencoder_encoder tag (model_wrapper.py:529-534) on the test path."""
+    overrides = TINY_OVERRIDES + [
+        "model.encode_latents=true",
+        "trainer.max_steps=1",
+        f"output_dir={tmp_path}",
+        f"test.output_path={tmp_path}/test",
+    ]
+    cfg = load_config(None, overrides)
+    trainer = Trainer(cfg, tmp_path)
+    state = trainer.fit()
+    trainer.test(state, name="lat")
+    root = Path(cfg.test.output_path) / "lat"
+    bench = json.loads((root / "benchmark.json").read_text())
+    assert {"autoencoder_encoder", "encoder", "decoder", "autoencoder_decoder"} <= set(bench)
+
+
 def test_resume_from_checkpoint(tiny_run, tmp_path):
     cfg, trainer, state, out = tiny_run
     ckpt = sorted((out / "checkpoints").glob("step_*"))[-1]
