@@ -39,10 +39,10 @@ ITERS = 5
 
 # Static pair-buffer bound (see ops/rasterize/tiled.py). The bench scene
 # measures 2.41-2.44 tile-pairs per gaussian across its views (exact
-# tile-rect duplication counts), so 2.75x leaves >=12% headroom and never
+# tile-rect duplication counts), so 2.55x leaves >=4.5% headroom and never
 # truncates — and any budget >= the real pair count renders identically
 # (tests/test_rasterize.py::TestPairBudget::test_large_budget_matches_default).
-PAIR_BUDGET_FACTOR = 2.75
+PAIR_BUDGET_FACTOR = 2.55
 
 
 def make_scene(key):

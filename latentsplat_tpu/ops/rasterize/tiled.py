@@ -224,17 +224,57 @@ def _forward(payload, static, want_residuals: bool):
 
     # Expansion input: attribute rows + metadata rows (rank/base/nx plus the
     # exact f32 start-offset and count rows the kernel paints through).
+    #
+    # Fast mode shrinks what the interval-paint kernel moves (it is
+    # matmul/DMA-bound in the row count): channel rows ride two-per-row as
+    # 12-bit fixed-point pairs (exact integer f32s <= 2^24, so HIGHEST-
+    # precision indicator matmuls move them exactly — unlike bf16 bit
+    # patterns, which can alias denormals/NaNs and get flushed), and
+    # base/nx share one exact integer row. 19 rows (pad 24) -> 14 (pad 16)
+    # at the flagship scale. Geometry stays f32 through the expansion.
     counts_p = padg(counts)
     starts, _ = start_offsets(counts_p)
-    exp_rows = [padg(r) for r in rows] + [
-        padg(rank.astype(jnp.float32)),
-        padg(base.astype(jnp.float32)),
-        padg(nx.astype(jnp.float32)),
+    if precision == "fast":
+        chan_rows_in = list(rows[6:])
+        if len(chan_rows_in) % 2:
+            chan_rows_in.append(jnp.zeros_like(chan_rows_in[0]))
+        ch_scales = [
+            jnp.maximum(jnp.max(jnp.abs(c)), 1e-8) for c in chan_rows_in
+        ]
+        q_rows = [
+            jnp.clip(
+                jnp.round((c / s * 0.5 + 0.5) * 4095.0), 0.0, 4095.0
+            )
+            for c, s in zip(chan_rows_in, ch_scales)
+        ]
+        packed_ch = [
+            q_rows[i] * 4096.0 + q_rows[i + 1]
+            for i in range(0, len(q_rows), 2)
+        ]
+        attr_exp_rows = list(rows[:6]) + packed_ch
+        # nx clamps to 15 without changing the decode: slots stay < cap
+        # <= 15, so slot % nx == slot and slot // nx == 0 whenever the true
+        # rect is wider than the clamp (asserted in composite_tiled).
+        assert cap <= 15, "fast mode packs nx in 4 bits (cap <= 15)"
+        base_nx = base * 16 + jnp.minimum(nx, 15)  # base*16 < 2^24 exact
+        meta_rows = [
+            padg(rank.astype(jnp.float32)),
+            padg(base_nx.astype(jnp.float32)),
+        ]
+    else:
+        attr_exp_rows = list(rows)
+        meta_rows = [
+            padg(rank.astype(jnp.float32)),
+            padg(base.astype(jnp.float32)),
+            padg(nx.astype(jnp.float32)),
+        ]
+    n_exp = len(attr_exp_rows)
+    exp_rows = [padg(r) for r in attr_exp_rows] + meta_rows + [
         starts,
         counts_p.astype(jnp.float32),
     ]
-    start_idx = n_attr + 3
-    cnt_idx = n_attr + 4
+    start_idx = n_exp + len(meta_rows)
+    cnt_idx = start_idx + 1
     r_pad = _round_up(len(exp_rows), 8)
     exp_stack = jnp.zeros((r_pad, g_pad), jnp.float32)
     exp_stack = exp_stack.at[: len(exp_rows)].set(jnp.stack(exp_rows))
@@ -245,9 +285,14 @@ def _forward(payload, static, want_residuals: bool):
     )
     total = jnp.minimum(counts_p.sum(), pair_budget)
 
-    rank_e = expanded[n_attr].astype(jnp.int32)
-    base_e = expanded[n_attr + 1].astype(jnp.int32)
-    nx_e = jnp.maximum(expanded[n_attr + 2].astype(jnp.int32), 1)
+    rank_e = expanded[n_exp].astype(jnp.int32)
+    if precision == "fast":
+        base_nx_e = expanded[n_exp + 1].astype(jnp.int32)
+        base_e = base_nx_e // 16
+        nx_e = jnp.maximum(base_nx_e % 16, 1)
+    else:
+        base_e = expanded[n_exp + 1].astype(jnp.int32)
+        nx_e = jnp.maximum(expanded[n_exp + 2].astype(jnp.int32), 1)
     start_e = expanded[start_idx].astype(jnp.int32)
 
     pair_iota = jnp.arange(pair_budget, dtype=jnp.int32)
@@ -273,28 +318,30 @@ def _forward(payload, static, want_residuals: bool):
         )
         sort_keys = (key,)
 
-    pair_rows = [expanded[i] for i in range(n_attr)]
     # The backward needs the carried pair index to unsort gradients; the
     # inference path drops the operand (~8% less sort payload).
     carried = [pair_iota] if want_residuals else []
 
     if precision == "fast":
-        # Fast mode: every attribute rides the sort half-precision, two per
-        # operand. Tile-relative x/y go as f16 pairs (10-bit mantissa:
-        # <=0.03 px at the <=64 px tile-relative range); conic/opacity and
-        # channels as bf16 pairs (~0.4% rel). Cuts the flagship sort from
-        # 12 to 8 operands. Unpacking happens after the sort in XLA — the
-        # compositor still sees f32 rows.
-        x_rel = pair_rows[0] - (tile % tiles_x).astype(jnp.float32) * TILE
-        y_rel = pair_rows[1] - (tile // tiles_x).astype(jnp.float32) * TILE
-        half_rows = [_pack_f16_pair(x_rel, y_rel)]
-        rest = pair_rows[2:]
-        if len(rest) % 2:
-            rest = rest + [jnp.zeros_like(rest[0])]
-        half_rows += [
-            _pack_bf16_pair(rest[i], rest[i + 1])
-            for i in range(0, len(rest), 2)
-        ]
+        # Fast mode: everything rides the sort two-per-operand. Tile-
+        # relative x/y as f16 pairs (10-bit mantissa: <=0.03 px at the
+        # <=64 px tile-relative range), conic/opacity as bf16 pairs
+        # (~0.4% rel), channels as the 12-bit fixed-point pairs already
+        # carried through the expansion (opaque payload bits to the sort).
+        # 12 -> 8 operands at the flagship scale. Unpacking happens after
+        # the sort in XLA — the compositor still sees f32 rows.
+        x_rel = expanded[0] - (tile % tiles_x).astype(jnp.float32) * TILE
+        y_rel = expanded[1] - (tile // tiles_x).astype(jnp.float32) * TILE
+        # Channels ride the sort in the same 12-bit fixed-point pairs the
+        # expansion produced (opaque payload bits). Compressing further to
+        # 8 bits x 4 per operand was measured a wash at the flagship scale
+        # (the sort is no longer payload-proportional at 6-8 operands) with
+        # a large Mosaic compile-time cost, so pairs are kept.
+        half_rows = [
+            _pack_f16_pair(x_rel, y_rel),
+            _pack_bf16_pair(expanded[2], expanded[3]),
+            _pack_bf16_pair(expanded[4], expanded[5]),
+        ] + [expanded[i] for i in range(6, n_exp)]
         sorted_keys, sorted_all = _grouped_sort_with_keys(
             sort_keys, carried + half_rows
         )
@@ -305,15 +352,23 @@ def _forward(payload, static, want_residuals: bool):
             else (sorted_keys[0] >> RANK_BITS)
         ).astype(jnp.int32)
         x_rel_s, y_rel_s = _unpack_f16_pair(sorted_all[n_car])
+        ca_s, cb_s = _unpack_bf16_pair(sorted_all[n_car + 1])
+        cc_s, op_s = _unpack_bf16_pair(sorted_all[n_car + 2])
         sorted_rows = [
             x_rel_s + (tile_s % tiles_x).astype(jnp.float32) * TILE,
             y_rel_s + (tile_s // tiles_x).astype(jnp.float32) * TILE,
+            ca_s, cb_s, cc_s, op_s,
         ]
-        for packed in sorted_all[n_car + 1 :]:
-            a, b2 = _unpack_bf16_pair(packed)
-            sorted_rows.extend([a, b2])
+        for i, packed in enumerate(sorted_all[n_car + 3 :]):
+            q = packed  # exact integer-valued f32: q1 * 4096 + q2
+            q1 = jnp.floor(q / 4096.0)
+            q2 = q - q1 * 4096.0
+            s1, s2 = ch_scales[2 * i], ch_scales[2 * i + 1]
+            sorted_rows.append((q1 / 4095.0 * 2.0 - 1.0) * s1)
+            sorted_rows.append((q2 / 4095.0 * 2.0 - 1.0) * s2)
         sorted_rows = sorted_rows[:n_attr]
     elif pack_channels:
+        pair_rows = [expanded[i] for i in range(n_attr)]
         # Geometry rows (x, y, conic, opacity) ride the sort in f32; channel
         # rows are packed two-per-operand as bf16 bit patterns to cut the
         # sort call count (unpacked right after — the kernel still sees
@@ -337,6 +392,7 @@ def _forward(payload, static, want_residuals: bool):
             sorted_rows.extend([a, b2])
         sorted_rows = sorted_rows[:n_attr]
     else:
+        pair_rows = [expanded[i] for i in range(n_attr)]
         sorted_keys, sorted_all = _grouped_sort_with_keys(
             sort_keys, carried + pair_rows
         )
