@@ -235,7 +235,13 @@ def _forward(payload, static, want_residuals: bool):
     counts_p = padg(counts)
     starts, _ = start_offsets(counts_p)
     if precision == "fast":
-        chan_rows_in = list(rows[6:])
+        # Depth (the last attribute row) stays f32 through the expansion:
+        # post-expansion its raw bits become the second sort key (positive
+        # f32 bit patterns order like ints), replacing the global
+        # depth-rank sorts entirely — and it reads back out of the sorted
+        # key for free. Ties break by the stable sort's gaussian-major
+        # order, identical to the rank path's iota tiebreak.
+        chan_rows_in = list(rows[6:-1])
         if len(chan_rows_in) % 2:
             chan_rows_in.append(jnp.zeros_like(chan_rows_in[0]))
         ch_scales = [
@@ -251,14 +257,13 @@ def _forward(payload, static, want_residuals: bool):
             q_rows[i] * 4096.0 + q_rows[i + 1]
             for i in range(0, len(q_rows), 2)
         ]
-        attr_exp_rows = list(rows[:6]) + packed_ch
+        attr_exp_rows = list(rows[:6]) + packed_ch + [rows[-1]]
         # nx clamps to 15 without changing the decode: slots stay < cap
         # <= 15, so slot % nx == slot and slot // nx == 0 whenever the true
         # rect is wider than the clamp (asserted in composite_tiled).
         assert cap <= 15, "fast mode packs nx in 4 bits (cap <= 15)"
         base_nx = base * 16 + jnp.minimum(nx, 15)  # base*16 < 2^24 exact
         meta_rows = [
-            padg(rank.astype(jnp.float32)),
             padg(base_nx.astype(jnp.float32)),
         ]
     else:
@@ -285,29 +290,46 @@ def _forward(payload, static, want_residuals: bool):
     )
     total = jnp.minimum(counts_p.sum(), pair_budget)
 
-    rank_e = expanded[n_exp].astype(jnp.int32)
     if precision == "fast":
-        base_nx_e = expanded[n_exp + 1].astype(jnp.int32)
+        base_nx_e = expanded[n_exp].astype(jnp.int32)
         base_e = base_nx_e // 16
         nx_e = jnp.maximum(base_nx_e % 16, 1)
+        rank_e = None  # fast mode orders by raw depth bits instead
     else:
+        rank_e = expanded[n_exp].astype(jnp.int32)
         base_e = expanded[n_exp + 1].astype(jnp.int32)
         nx_e = jnp.maximum(expanded[n_exp + 2].astype(jnp.int32), 1)
     start_e = expanded[start_idx].astype(jnp.int32)
 
     pair_iota = jnp.arange(pair_budget, dtype=jnp.int32)
     slot = pair_iota - start_e
-    # Unpainted tail columns hold zeros (start=0, nx=1) -> garbage tiles;
-    # clamp before shifting so the int32 key math can't overflow, then mask.
+    # Rect decode slot -> (row, col). Integer div/mod by the DYNAMIC nx_e
+    # lowers to a long emulation sequence per element on TPU; exact float
+    # math replaces it: slot < cap <= 15 for painted columns, and
+    # floor((a + 0.5) / b) == a // b exactly for small non-negative ints
+    # (the +0.5 never crosses an integer boundary and f32 rounding error
+    # is far below the 0.5/15 margin). Unpainted tail columns hold zeros
+    # (start=0, nx=1) -> garbage tiles; clamp so the int32 key math can't
+    # overflow, then mask.
+    slot_f = jnp.clip(slot, 0, 256).astype(jnp.float32)
+    nx_f = nx_e.astype(jnp.float32)
+    row_f = jnp.floor((slot_f + 0.5) / nx_f)
+    col_f = slot_f - row_f * nx_f
     tile = jnp.clip(
-        base_e + slot % nx_e + (slot // nx_e) * tiles_x, 0, num_tiles
+        base_e + (col_f + row_f * tiles_x).astype(jnp.int32), 0, num_tiles
     )
     valid = pair_iota < total
-    # Packed keys (tile << RANK_BITS | rank) fit one i32 while G < 2^19;
-    # beyond that a stable two-key lexicographic sort (tile, rank) lifts
-    # the ceiling at the cost of one extra sort operand.
-    wide_ranks = g >= (1 << RANK_BITS)
-    if wide_ranks:
+    # Fast mode always sorts two-key (tile, raw f32 depth bits) — no
+    # gaussian-count ceiling and no depth-rank sorts. Exact mode packs
+    # (tile << RANK_BITS | rank) into one i32 while G < 2^19; beyond that
+    # it switches to a stable two-key (tile, rank) lexicographic sort.
+    wide_ranks = precision == "fast" or g >= (1 << RANK_BITS)
+    if precision == "fast":
+        depth_e = expanded[n_exp - 1]  # f32, positive for live gaussians
+        depth_bits = jax.lax.bitcast_convert_type(depth_e, jnp.int32)
+        tile_key = jnp.where(valid, tile, num_tiles + 1)
+        sort_keys = (tile_key, depth_bits)
+    elif wide_ranks:
         tile_key = jnp.where(valid, tile, num_tiles + 1)
         sort_keys = (tile_key, rank_e)
     else:
@@ -341,16 +363,12 @@ def _forward(payload, static, want_residuals: bool):
             _pack_f16_pair(x_rel, y_rel),
             _pack_bf16_pair(expanded[2], expanded[3]),
             _pack_bf16_pair(expanded[4], expanded[5]),
-        ] + [expanded[i] for i in range(6, n_exp)]
+        ] + [expanded[i] for i in range(6, n_exp - 1)]
         sorted_keys, sorted_all = _grouped_sort_with_keys(
             sort_keys, carried + half_rows
         )
         n_car = len(carried)
-        tile_s = (
-            sorted_keys[0]
-            if wide_ranks
-            else (sorted_keys[0] >> RANK_BITS)
-        ).astype(jnp.int32)
+        tile_s = sorted_keys[0].astype(jnp.int32)
         x_rel_s, y_rel_s = _unpack_f16_pair(sorted_all[n_car])
         ca_s, cb_s = _unpack_bf16_pair(sorted_all[n_car + 1])
         cc_s, op_s = _unpack_bf16_pair(sorted_all[n_car + 2])
@@ -366,7 +384,10 @@ def _forward(payload, static, want_residuals: bool):
             s1, s2 = ch_scales[2 * i], ch_scales[2 * i + 1]
             sorted_rows.append((q1 / 4095.0 * 2.0 - 1.0) * s1)
             sorted_rows.append((q2 / 4095.0 * 2.0 - 1.0) * s2)
-        sorted_rows = sorted_rows[:n_attr]
+        # Depth reads back out of the second sort key for free.
+        sorted_rows = sorted_rows[: n_attr - 1] + [
+            jax.lax.bitcast_convert_type(sorted_keys[1], jnp.float32)
+        ]
     elif pack_channels:
         pair_rows = [expanded[i] for i in range(n_attr)]
         # Geometry rows (x, y, conic, opacity) ride the sort in f32; channel
@@ -553,8 +574,13 @@ def composite_tiled(
     )
 
     alive = sg.radius > 0.0
-    depth_key = jnp.where(alive, sg.depth, jnp.inf)
-    rank = _depth_ranks(depth_key)
+    if precision == "fast":
+        # Fast mode sorts pairs by raw f32 depth bits (CUDA-style), so the
+        # two global rank-inversion sorts are skipped entirely.
+        rank = jnp.zeros((g,), jnp.int32)
+    else:
+        depth_key = jnp.where(alive, sg.depth, jnp.inf)
+        rank = _depth_ranks(depth_key)
     counts, base, nx_safe = _tile_rects(sg, tiles_x, tiles_y, cap)
 
     rows = tuple(
