@@ -319,16 +319,28 @@ def _forward(payload, static, want_residuals: bool):
         base_e + (col_f + row_f * tiles_x).astype(jnp.int32), 0, num_tiles
     )
     valid = pair_iota < total
-    # Fast mode always sorts two-key (tile, raw f32 depth bits) — no
-    # gaussian-count ceiling and no depth-rank sorts. Exact mode packs
-    # (tile << RANK_BITS | rank) into one i32 while G < 2^19; beyond that
-    # it switches to a stable two-key (tile, rank) lexicographic sort.
-    wide_ranks = precision == "fast" or g >= (1 << RANK_BITS)
+    # Fast mode packs (tile << 19 | depth code) into ONE key with no
+    # gaussian-count ceiling and no depth-rank sorts: the top 19 bits of a
+    # positive f32's bit pattern (after >> 12) are a monotone depth code —
+    # every positive float incl. +inf fits (0x7F800000 >> 12 < 2^19) —
+    # with 10 mantissa bits (~0.1% relative ties, stable gaussian-major
+    # tiebreak). Exact mode packs (tile << RANK_BITS | rank) while
+    # G < 2^19, else a stable two-key (tile, rank) lexicographic sort.
+    wide_ranks = precision != "fast" and g >= (1 << RANK_BITS)
     if precision == "fast":
         depth_e = expanded[n_exp - 1]  # f32, positive for live gaussians
-        depth_bits = jax.lax.bitcast_convert_type(depth_e, jnp.int32)
-        tile_key = jnp.where(valid, tile, num_tiles + 1)
-        sort_keys = (tile_key, depth_bits)
+        depth_code = (
+            jax.lax.shift_right_logical(
+                jax.lax.bitcast_convert_type(depth_e, jnp.int32), 12
+            )
+            & 0x7FFFF  # keep dead gaussians' negative depths in-field
+        )
+        key = jnp.where(
+            valid,
+            (tile << RANK_BITS) | depth_code,
+            (num_tiles + 1) << RANK_BITS,
+        )
+        sort_keys = (key,)
     elif wide_ranks:
         tile_key = jnp.where(valid, tile, num_tiles + 1)
         sort_keys = (tile_key, rank_e)
@@ -368,7 +380,7 @@ def _forward(payload, static, want_residuals: bool):
             sort_keys, carried + half_rows
         )
         n_car = len(carried)
-        tile_s = sorted_keys[0].astype(jnp.int32)
+        tile_s = (sorted_keys[0] >> RANK_BITS).astype(jnp.int32)
         x_rel_s, y_rel_s = _unpack_f16_pair(sorted_all[n_car])
         ca_s, cb_s = _unpack_bf16_pair(sorted_all[n_car + 1])
         cc_s, op_s = _unpack_bf16_pair(sorted_all[n_car + 2])
@@ -384,10 +396,12 @@ def _forward(payload, static, want_residuals: bool):
             s1, s2 = ch_scales[2 * i], ch_scales[2 * i + 1]
             sorted_rows.append((q1 / 4095.0 * 2.0 - 1.0) * s1)
             sorted_rows.append((q2 / 4095.0 * 2.0 - 1.0) * s2)
-        # Depth reads back out of the second sort key for free.
-        sorted_rows = sorted_rows[: n_attr - 1] + [
-            jax.lax.bitcast_convert_type(sorted_keys[1], jnp.float32)
-        ]
+        # Depth reads back out of the key's 19-bit code (midpoint fill of
+        # the truncated mantissa: <=2^-11 relative error).
+        depth_sorted = jax.lax.bitcast_convert_type(
+            ((sorted_keys[0] & 0x7FFFF) << 12) | 0x800, jnp.float32
+        )
+        sorted_rows = sorted_rows[: n_attr - 1] + [depth_sorted]
     elif pack_channels:
         pair_rows = [expanded[i] for i in range(n_attr)]
         # Geometry rows (x, y, conic, opacity) ride the sort in f32; channel
@@ -561,9 +575,10 @@ def composite_tiled(
     g = sg.num_gaussians
     cap = max_tiles_per_gaussian
     num_tiles = tiles_x * tiles_y
-    if g < (1 << RANK_BITS):
-        # Packed single-key mode; above the ceiling _forward switches to a
-        # stable two-key (tile, rank) sort automatically.
+    if g < (1 << RANK_BITS) or precision == "fast":
+        # Packed single-key mode (fast mode always packs — its 19-bit depth
+        # code has no gaussian-count ceiling; exact mode above the ceiling
+        # switches to a stable two-key (tile, rank) sort automatically).
         assert num_tiles << RANK_BITS < (1 << 31), "too many tiles for int32 keys"
     assert g * cap < (1 << 24), "pair offsets exceed exact-f32 range"
     # The budget must tile under both the expansion output block and the
