@@ -96,7 +96,7 @@ def render(
                 col = jnp.maximum(col, 0.0)
             else:
                 col = color_sh[..., 0]
-            parts.append(col)
+            parts.append(col.astype(jnp.float32))
         if has_feature:
             if use_sh:
                 deg = isqrt(feature_sh.shape[-1]) - 1
@@ -105,11 +105,18 @@ def render(
                 feat = eval_sh(deg, feature_sh, direction) + 0.5
             else:
                 feat = feature_sh[..., 0]
-            parts.append(feat)
+            parts.append(feat.astype(jnp.float32))
         return jnp.concatenate(parts, axis=-1)
 
     def render_scene(ext_v, intr_v, near_v, far_v, bg, mns, covs, ops, c_sh, f_sh):
         """One scene: sequential map over its views, gaussians shared."""
+        if precision == "fast":
+            # The SH tables (118 MB color + 56 MB features at the flagship
+            # scale) are re-read once per view for the view-dependent
+            # evaluation; bf16 storage halves that traffic. Cast once per
+            # scene, outside the view loop.
+            c_sh = c_sh.astype(jnp.bfloat16) if c_sh is not None else None
+            f_sh = f_sh.astype(jnp.bfloat16) if f_sh is not None else None
         n_ch = (3 if has_color else 0) + (
             f_sh.shape[-2] if has_feature else 0
         )

@@ -318,6 +318,31 @@ def _forward(payload, static, want_residuals: bool):
     tile = jnp.clip(
         base_e + (col_f + row_f * tiles_x).astype(jnp.int32), 0, num_tiles
     )
+    # Conservative per-pair ellipse-tile cull: the bounding rect includes
+    # corner tiles the ellipse misses. If alpha < 1/255 over the whole
+    # tile — bounded via qf(d) >= lambda_min(conic) * |d|^2 at the
+    # rect-nearest pixel center — the compositor would zero every
+    # contribution anyway (ALPHA_THRESHOLD), so drop the pair into the
+    # invalid segment. Exact by construction; the margin covers fp
+    # discrepancy between this bound and the kernel's per-pixel alpha.
+    mx_e, my_e = expanded[0], expanded[1]
+    ca_e, cb_e, cc_e, op_e = (
+        expanded[2], expanded[3], expanded[4], expanded[5]
+    )
+    txp = (tile % tiles_x).astype(jnp.float32) * TILE
+    typ = (tile // tiles_x).astype(jnp.float32) * TILE
+    dxn = jnp.clip(mx_e, txp, txp + (TILE - 1)) - mx_e
+    dyn = jnp.clip(my_e, typ, typ + (TILE - 1)) - my_e
+    d2 = dxn * dxn + dyn * dyn
+    lam_min = jnp.maximum(
+        0.5 * (ca_e + cc_e)
+        - jnp.sqrt(jnp.maximum((0.5 * (ca_e - cc_e)) ** 2 + cb_e * cb_e, 0.0)),
+        0.0,
+    )
+    no_hit = 0.5 * lam_min * d2 > (
+        jnp.log(255.0 * jnp.maximum(op_e, 1e-12)) + 1e-3
+    )
+    tile = jnp.where(no_hit, num_tiles, tile)
     valid = pair_iota < total
     # Fast mode packs (tile << 19 | depth code) into ONE key with no
     # gaussian-count ceiling and no depth-rank sorts: the top 19 bits of a
