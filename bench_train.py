@@ -46,8 +46,12 @@ def main() -> None:
     print(f"train-step bench on {dev.platform}:{dev.device_kind} "
           f"({size}px, batch {batch})", file=sys.stderr)
 
+    fast = "--fast" in sys.argv
     overrides = [
         f"dataset.image_shape=[{size},{size}]",
+        # Half-precision rasterizer sort payload + bf16 compositor matmuls
+        # (gradients flow through the same quantized attributes).
+        *(["model.decoder.precision=fast"] if fast else []),
         # 256px activations exceed 16 GB HBM without rematerialization.
         f"model.remat={'true' if full else 'false'}",
         # Per-view rasterizer residuals (~160 MB/view) are the next-largest
@@ -99,7 +103,8 @@ def main() -> None:
     sec = times[len(times) // 2]
     print(f"step times: {['%.2f' % t for t in times]}", file=sys.stderr)
     result = {
-        "metric": f"train_step_{size}px_batch{batch}_vae_gan",
+        "metric": f"train_step_{size}px_batch{batch}_vae_gan"
+                  + ("_fast" if fast else ""),
         "value": round(1.0 / sec, 3),
         "unit": "steps/sec/chip",
         # Anchor: the reference trains this shape on a 40 GB A100
@@ -116,7 +121,7 @@ def main() -> None:
     record = dict(result)
     record["device"] = f"{dev.platform}:{dev.device_kind}"
     record["measured_unix"] = int(time.time())
-    (out_dir / f"train_step_{size}px_b{batch}.json").write_text(
+    (out_dir / f"train_step_{size}px_b{batch}{'_fast' if fast else ''}.json").write_text(
         json.dumps(record, indent=1)
     )
 

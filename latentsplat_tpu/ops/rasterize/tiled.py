@@ -236,11 +236,11 @@ def _forward(payload, static, want_residuals: bool):
     starts, _ = start_offsets(counts_p)
     if precision == "fast":
         # Depth (the last attribute row) stays f32 through the expansion:
-        # post-expansion its raw bits become the second sort key (positive
-        # f32 bit patterns order like ints), replacing the global
-        # depth-rank sorts entirely — and it reads back out of the sorted
-        # key for free. Ties break by the stable sort's gaussian-major
-        # order, identical to the rank path's iota tiebreak.
+        # post-expansion the top 19 bits of its bit pattern become the
+        # depth code of the packed (tile << 19 | code) sort key, replacing
+        # the global depth-rank sorts entirely — and depth reads back out
+        # of the sorted key. Ties (10-mantissa-bit granularity) break by
+        # the stable sort's gaussian-major order.
         chan_rows_in = list(rows[6:-1])
         if len(chan_rows_in) % 2:
             chan_rows_in.append(jnp.zeros_like(chan_rows_in[0]))
