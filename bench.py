@@ -37,12 +37,13 @@ COLOR_SH = 25        # degree 4
 FEATURE_SH = 9       # degree 2
 ITERS = 5
 
-# Static pair-buffer bound (see ops/rasterize/tiled.py). The bench scene
-# measures 2.41-2.44 tile-pairs per gaussian across its views (exact
-# tile-rect duplication counts), so 2.55x leaves >=4.5% headroom and never
+# Static pair-buffer bound (see ops/rasterize/tiled.py). With the
+# threshold-aware per-axis extent rects (camera.py) the bench scene
+# measures 2.087 tile-pairs per gaussian across its views (exact
+# tile-rect duplication counts), so 2.2x leaves >=5% headroom and never
 # truncates — and any budget >= the real pair count renders identically
 # (tests/test_rasterize.py::TestPairBudget::test_large_budget_matches_default).
-PAIR_BUDGET_FACTOR = 2.55
+PAIR_BUDGET_FACTOR = 2.2
 
 
 def make_scene(key):

@@ -126,6 +126,21 @@ def project_gaussians_to_screen(
     radius = jnp.where(valid, radius, 0.0)
     opacity = jnp.where(valid, opacities, 0.0)
 
+    # Threshold-aware per-axis extents, strictly tighter than the 3-sigma
+    # circle's bounding square (which the reference CUDA rasterizer uses):
+    # minimizing the quadratic form over dy at fixed dx gives
+    # min_dy qf(d) = dx^2 / c00, so alpha >= ALPHA_THRESHOLD requires
+    # |dx| <= sqrt(2 ln(255 o) c00) (same for y with c11). Pixels beyond the
+    # extent are provably zeroed by the compositor's alpha threshold (and by
+    # the dense oracle's), so tile rects built from extents are bit-exact
+    # while emitting fewer pairs. The +1e-3 log margin and +0.01 px pad
+    # cover f32 rounding drift vs the kernel's per-pixel alpha evaluation.
+    log_op = jnp.log(255.0 * jnp.maximum(opacities, 1e-12)) + 1e-3
+    two_lo = 2.0 * jnp.maximum(log_op, 0.0)
+    ext_x = jnp.minimum(radius, jnp.sqrt(two_lo * jnp.maximum(c00, 0.0)) + 0.01)
+    ext_y = jnp.minimum(radius, jnp.sqrt(two_lo * jnp.maximum(c11, 0.0)) + 0.01)
+    extent = jnp.where(valid[:, None], jnp.stack([ext_x, ext_y], axis=-1), 0.0)
+
     return ScreenGaussians(
         mean2d=mean2d,
         conic=conic,
@@ -133,4 +148,5 @@ def project_gaussians_to_screen(
         radius=radius,
         opacity=opacity,
         channels=channels,
+        extent=extent,
     )

@@ -524,10 +524,18 @@ def _tile_rects(sg: ScreenGaussians, tiles_x: int, tiles_y: int, cap: int):
     alive = sg.radius > 0.0
     mean_nd = jax.lax.stop_gradient(sg.mean2d)
     radius_nd = jax.lax.stop_gradient(sg.radius)
-    tx0 = jnp.clip(jnp.floor((mean_nd[:, 0] - radius_nd) / TILE), 0, tiles_x - 1)
-    tx1 = jnp.clip(jnp.floor((mean_nd[:, 0] + radius_nd) / TILE), 0, tiles_x - 1)
-    ty0 = jnp.clip(jnp.floor((mean_nd[:, 1] - radius_nd) / TILE), 0, tiles_y - 1)
-    ty1 = jnp.clip(jnp.floor((mean_nd[:, 1] + radius_nd) / TILE), 0, tiles_y - 1)
+    if sg.extent is not None:
+        # Threshold-aware per-axis extents (see camera.py): tiles beyond
+        # them hold only provably-sub-threshold alphas, so the tighter rect
+        # is bit-exact and emits fewer pairs than the radius square.
+        ext_nd = jax.lax.stop_gradient(sg.extent)
+        ex, ey = ext_nd[:, 0], ext_nd[:, 1]
+    else:
+        ex = ey = radius_nd
+    tx0 = jnp.clip(jnp.floor((mean_nd[:, 0] - ex) / TILE), 0, tiles_x - 1)
+    tx1 = jnp.clip(jnp.floor((mean_nd[:, 0] + ex) / TILE), 0, tiles_x - 1)
+    ty0 = jnp.clip(jnp.floor((mean_nd[:, 1] - ey) / TILE), 0, tiles_y - 1)
+    ty1 = jnp.clip(jnp.floor((mean_nd[:, 1] + ey) / TILE), 0, tiles_y - 1)
     tx0, tx1 = tx0.astype(jnp.int32), tx1.astype(jnp.int32)
     ty0, ty1 = ty0.astype(jnp.int32), ty1.astype(jnp.int32)
     nx = tx1 - tx0 + 1

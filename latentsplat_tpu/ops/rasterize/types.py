@@ -25,6 +25,12 @@ class ScreenGaussians:
     opacity: jnp.ndarray     # (G,) in [0, 1]
     channels: jnp.ndarray    # (G, C) per-gaussian composited payload
                              # (color / features / anything)
+    # (G, 2) threshold-aware per-axis half-extents (<= radius): pixels with
+    # |dx| > extent[0] or |dy| > extent[1] provably fall below
+    # ALPHA_THRESHOLD, so tile rects built from the extents drop corner and
+    # edge tiles bit-exactly (the compositor zeroes those alphas anyway).
+    # Optional for backward compatibility; None falls back to the radius.
+    extent: Optional[jnp.ndarray] = None
 
     @property
     def num_gaussians(self) -> int:
