@@ -40,10 +40,11 @@ ITERS = 5
 # Static pair-buffer bound (see ops/rasterize/tiled.py). With the
 # threshold-aware per-axis extent rects (camera.py) the bench scene
 # measures 2.087 tile-pairs per gaussian across its views (exact
-# tile-rect duplication counts), so 2.2x leaves >=5% headroom and never
-# truncates — and any budget >= the real pair count renders identically
+# tile-rect duplication counts, max per-view ratio 2.103), so 2.16x leaves
+# >=2.5% headroom and never truncates — and any budget >= the real pair
+# count renders identically
 # (tests/test_rasterize.py::TestPairBudget::test_large_budget_matches_default).
-PAIR_BUDGET_FACTOR = 2.2
+PAIR_BUDGET_FACTOR = 2.16
 
 
 def make_scene(key):

@@ -391,16 +391,30 @@ def _forward(payload, static, want_residuals: bool):
         # the sort in XLA — the compositor still sees f32 rows.
         x_rel = expanded[0] - (tile % tiles_x).astype(jnp.float32) * TILE
         y_rel = expanded[1] - (tile // tiles_x).astype(jnp.float32) * TILE
-        # Channels ride the sort in the same 12-bit fixed-point pairs the
-        # expansion produced (opaque payload bits). Compressing further to
-        # 8 bits x 4 per operand was measured a wash at the flagship scale
-        # (the sort is no longer payload-proportional at 6-8 operands) with
-        # a large Mosaic compile-time cost, so pairs are kept.
+        # Channels ride the sort in the same 12-bit fixed-point values the
+        # expansion produced, but bit-repacked from 24 useful bits per f32
+        # row into FULL 32-bit operands: each group of four 24-bit rows
+        # becomes three int32 rows (bit-identical payload, 25% fewer
+        # channel operands; the sort is byte-bound at this row count).
+        # Requantizing to 8 bits x 4 was measured a wash — the win here is
+        # pure bit packing with no precision change. Leftover rows (when
+        # the packed-row count is not a multiple of 4) ride unpacked.
+        chan24 = [
+            expanded[i].astype(jnp.int32) for i in range(6, n_exp - 1)
+        ]
+        quad_ops: list = []
+        n_quad = len(chan24) // 4
+        for qi in range(n_quad):
+            i0, i1, i2, i3 = chan24[4 * qi : 4 * qi + 4]
+            quad_ops.append(i0 | ((i1 & 0xFF) << 24))
+            quad_ops.append((i1 >> 8) | ((i2 & 0xFFFF) << 16))
+            quad_ops.append(((i2 >> 16) & 0xFF) | (i3 << 8))
+        tail_rows = [expanded[i] for i in range(6 + 4 * n_quad, n_exp - 1)]
         half_rows = [
             _pack_f16_pair(x_rel, y_rel),
             _pack_bf16_pair(expanded[2], expanded[3]),
             _pack_bf16_pair(expanded[4], expanded[5]),
-        ] + [expanded[i] for i in range(6, n_exp - 1)]
+        ] + quad_ops + tail_rows
         sorted_keys, sorted_all = _grouped_sort_with_keys(
             sort_keys, carried + half_rows
         )
@@ -414,10 +428,22 @@ def _forward(payload, static, want_residuals: bool):
             y_rel_s + (tile_s // tiles_x).astype(jnp.float32) * TILE,
             ca_s, cb_s, cc_s, op_s,
         ]
-        for i, packed in enumerate(sorted_all[n_car + 3 :]):
-            q = packed  # exact integer-valued f32: q1 * 4096 + q2
-            q1 = jnp.floor(q / 4096.0)
-            q2 = q - q1 * 4096.0
+        # Reassemble the 24-bit channel rows: three int32 operands per
+        # quad-group (masked shifts kill sign extension), then any
+        # unpacked f32 tail rows.
+        chan_ops = sorted_all[n_car + 3 :]
+        chan24_s = []
+        for qi in range(n_quad):
+            o0, o1, o2 = chan_ops[3 * qi : 3 * qi + 3]
+            chan24_s.append(o0 & 0xFFFFFF)
+            chan24_s.append(((o0 >> 24) & 0xFF) | ((o1 & 0xFFFF) << 8))
+            chan24_s.append(((o1 >> 16) & 0xFFFF) | ((o2 & 0xFF) << 16))
+            chan24_s.append((o2 >> 8) & 0xFFFFFF)
+        for t24 in chan_ops[3 * n_quad :]:
+            chan24_s.append(t24.astype(jnp.int32))
+        for i, q24 in enumerate(chan24_s):
+            q1 = (q24 >> 12).astype(jnp.float32)
+            q2 = (q24 & 0xFFF).astype(jnp.float32)
             s1, s2 = ch_scales[2 * i], ch_scales[2 * i + 1]
             sorted_rows.append((q1 / 4095.0 * 2.0 - 1.0) * s1)
             sorted_rows.append((q2 / 4095.0 * 2.0 - 1.0) * s2)
