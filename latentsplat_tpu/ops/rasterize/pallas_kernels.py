@@ -54,7 +54,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 TILE = 16                      # pixels per tile side
 PIX = TILE * TILE              # pixels per tile (lane axis)
-CHUNK = 256                    # pairs composited per inner step
+CHUNK = 512                    # pairs composited per inner step
+SCAN_BLOCK = 128               # prefix-scan matmul block (see _excl_scan)
 ALPHA_THRESHOLD = 1.0 / 255.0
 ALPHA_CLAMP = 0.99
 LOG_SATURATION = math.log(1.0e-4)
@@ -118,6 +119,90 @@ def _mm(a: jnp.ndarray, b: jnp.ndarray, dims, fast: bool) -> jnp.ndarray:
     )
 
 
+def _coef_basis() -> jnp.ndarray:
+    """Tile-relative quadratic pixel basis (8, PIX) for coefficient-layout
+    alpha evaluation: rows [px^2, px, py^2, py, px*py, 1, 0, 0].
+
+    With tile-RELATIVE pixel coords (px, py in [0, TILE)) the basis is the
+    same for every tile, and all products stay small enough that the f32
+    matmul's error is ~1e-4 absolute in the exponent (extent-threshold
+    relation bounds conic*offset^2 by ~2*log(255)). Rows 6-7 are zero so a
+    (CHUNK, 8) @ (8, PIX) contraction can slice the first 8 attribute rows
+    without masking whatever lives in rows 6-7 (channels)."""
+    p = jax.lax.broadcasted_iota(jnp.int32, (1, PIX), 1)
+    pxr = (p % TILE).astype(jnp.float32)
+    pyr = (p // TILE).astype(jnp.float32)
+    one = jnp.ones((1, PIX), jnp.float32)
+    zero = jnp.zeros((2, PIX), jnp.float32)
+    return jnp.concatenate(
+        [pxr * pxr, pxr, pyr * pyr, pyr, pxr * pyr, one, zero], axis=0
+    )
+
+
+def _chunk_alpha_coef(attrs, basis, logop_row, chunk_offset, seg_start,
+                      seg_end):
+    """Coefficient-layout alpha [CHUNK, PIX]: one MXU matmul per chunk.
+
+    attrs rows 0-5 hold per-pair quadratic coefficients such that
+    coef @ basis == power + log(opacity) (see tiled.py's inference fast
+    path); row `logop_row` holds log(opacity). Replaces ~11 VPU flops per
+    (pair, pixel) of _chunk_alpha's elementwise quadratic with an MXU
+    contraction — the compositor is VPU-bound, so alpha math rides the
+    idle MXU instead. HIGHEST precision: a bf16 1-pass product of
+    coefficients up to ~500 would put ~2.0 absolute error in the exponent.
+    """
+    power_op = jax.lax.dot_general(
+        attrs[:, 0:8], basis,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )                                              # power + log(op)
+    log_op = attrs[:, logop_row : logop_row + 1]   # (CHUNK, 1)
+    alpha = jnp.minimum(ALPHA_CLAMP, jnp.exp(power_op))
+    alpha = jnp.where(power_op > log_op, 0.0, alpha)
+    alpha = jnp.where(alpha < ALPHA_THRESHOLD, 0.0, alpha)
+
+    idx = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0) + chunk_offset
+    in_segment = jnp.logical_and(idx >= seg_start, idx < seg_end)
+    return jnp.where(in_segment, alpha, 0.0)
+
+
+def _excl_scan(la, fast: bool):
+    """Exclusive prefix sum of (CHUNK, PIX) along CHUNK, block-partitioned.
+
+    A single strictly-lower-triangular matmul costs CHUNK^2 * PIX MACs; at
+    CHUNK=512 that quadruples the CHUNK=256 cost. Splitting into
+    SCAN_BLOCK-row blocks (within-block triangular matmul + a running
+    between-block total) keeps the MXU cost linear in CHUNK, which is what
+    lets CHUNK grow to amortize the compositor's per-chunk fixed overhead
+    (loop/DMA bookkeeping, the early-exit cross-lane max) without paying a
+    quadratic scan. Returns (excl, total) with total = sum over all rows.
+    """
+    lower = _strict_lower(SCAN_BLOCK)
+    nb = CHUNK // SCAN_BLOCK
+    tot = jnp.zeros((1, la.shape[1]), jnp.float32)
+    parts = []
+    for b in range(nb):
+        la_b = la[b * SCAN_BLOCK : (b + 1) * SCAN_BLOCK]
+        parts.append(_mm(lower, la_b, ((1,), (0,)), fast) + tot)
+        tot = tot + jnp.sum(la_b, axis=0, keepdims=True)
+    return jnp.concatenate(parts, axis=0), tot
+
+
+def _suffix_scan(x, fast: bool):
+    """Exclusive suffix sum of (CHUNK, PIX) along CHUNK, block-partitioned
+    (reverse-order counterpart of _excl_scan). Returns (suffix, total)."""
+    upper = _strict_upper(SCAN_BLOCK)
+    nb = CHUNK // SCAN_BLOCK
+    tot = jnp.zeros((1, x.shape[1]), jnp.float32)
+    parts = []
+    for b in reversed(range(nb)):
+        x_b = x[b * SCAN_BLOCK : (b + 1) * SCAN_BLOCK]
+        parts.append(_mm(upper, x_b, ((1,), (0,)), fast) + tot)
+        tot = tot + jnp.sum(x_b, axis=0, keepdims=True)
+    return jnp.concatenate(parts[::-1], axis=0), tot
+
+
 def _chunk_alpha(attrs, px, py, chunk_offset, seg_start, seg_end):
     """Alpha [CHUNK, PIX] of one attribute chunk, with validity masking.
 
@@ -169,6 +254,7 @@ def _fwd_kernel(
     tiles_x: int,
     n_chunks_total: int,
     fast: bool,
+    coef: bool,
 ):
     t = pl.program_id(0)
     start = tile_starts[t]
@@ -176,12 +262,13 @@ def _fwd_kernel(
     start_chunk = start // CHUNK
     n_chunks = (end + CHUNK - 1) // CHUNK - start_chunk
 
-    px, py = _pixel_coords(t, tiles_x)
+    if coef:
+        basis = _coef_basis()
+    else:
+        px, py = _pixel_coords(t, tiles_x)
 
     out_ref[0] = jnp.zeros_like(out_ref[0])
     lt_ref[:] = jnp.zeros_like(lt_ref)
-
-    lower = _strict_lower(CHUNK)
 
     bufs = (attr_buf0, attr_buf1)
     sems = (sem0, sem1)
@@ -222,10 +309,13 @@ def _fwd_kernel(
         a1 = _transpose_mxu(attr_buf1[:])
         a = jnp.where(parity == 0, a0, a1)  # (CHUNK, n_attr_pad)
 
-        alpha, _, _, _, _ = _chunk_alpha(a, px, py, pos, start, end)
+        if coef:
+            alpha = _chunk_alpha_coef(a, basis, 6 + n_ch, pos, start, end)
+        else:
+            alpha, _, _, _, _ = _chunk_alpha(a, px, py, pos, start, end)
 
         la = jnp.log1p(-alpha)                      # (CHUNK, PIX), <= 0
-        excl = _mm(lower, la, ((1,), (0,)), fast)
+        excl, la_tot = _excl_scan(la, fast)
         lt = lt_ref[:]                              # (1, PIX)
         weight = alpha * jnp.exp(lt + excl)         # (CHUNK, PIX)
 
@@ -233,7 +323,7 @@ def _fwd_kernel(
         acc = _mm(chans, weight, ((0,), (0,)), fast)  # (n_ch, PIX)
         out_ref[0, 0:n_ch, :] += acc
 
-        lt_new = lt + jnp.sum(la, axis=0, keepdims=True)
+        lt_new = lt + la_tot
         lt_ref[:] = lt_new
         return i + 1, jnp.max(lt_new)
 
@@ -270,8 +360,14 @@ def composite_pairs_fwd(
     tiles_y: int,
     interpret: bool = False,
     fast: bool = False,
+    coef: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Run the forward kernel. Returns (out_tiles [T, n_ch+1, PIX], done [T])."""
+    """Run the forward kernel. Returns (out_tiles [T, n_ch+1, PIX], done [T]).
+
+    coef=True switches alpha evaluation to the coefficient layout (rows 0-5
+    are quadratic coefficients, row 6+n_ch is log-opacity; see
+    _chunk_alpha_coef). Only the inference fast path produces this layout —
+    the backward kernel reads the plain geometry layout."""
     num_tiles = tiles_x * tiles_y
     n_attr = attrs_pairs.shape[0]
     n_chunks_total = attrs_pairs.shape[1] // CHUNK
@@ -291,7 +387,7 @@ def composite_pairs_fwd(
     )
     kernel = functools.partial(
         _fwd_kernel, n_ch=n_ch, tiles_x=tiles_x,
-        n_chunks_total=n_chunks_total, fast=fast,
+        n_chunks_total=n_chunks_total, fast=fast, coef=coef,
     )
     out = pl.pallas_call(
         kernel,
@@ -376,9 +472,6 @@ def _bwd_kernel(
             return 0
 
         jax.lax.fori_loop(0, n_chunks_total, zero_chunk, 0)
-
-    lower = _strict_lower(CHUNK)
-    upper = _strict_upper(CHUNK)
 
     # Double-buffered pipeline over descending chunk index i (parity i & 1):
     # while chunk i computes, chunk i-1's attr + accumulator loads are in
@@ -466,17 +559,16 @@ def _bwd_kernel(
         cc = a[:, 4:5]
 
         la = jnp.log1p(-alpha)
-        total = jnp.sum(la, axis=0, keepdims=True)     # (1, PIX)
+        excl, total = _excl_scan(la, fast)             # total: (1, PIX)
         lt_out = lt_ref[:]
         lt_in = lt_out - total
-        excl = _mm(lower, la, ((1,), (0,)), fast)
         t_i = jnp.exp(lt_in + excl)                    # (CHUNK, PIX)
         w = alpha * t_i
 
         chans = a[:, 6 : 6 + n_ch]                     # (CHUNK, n_ch)
         cg = _mm(chans, g_ch, ((1,), (0,)), fast)
         contrib = w * cg                               # (CHUNK, PIX)
-        suffix = _mm(upper, contrib, ((1,), (0,)), fast)
+        suffix, contrib_tot = _suffix_scan(contrib, fast)
         s_full = suffix + s_ref[:]
 
         d_alpha = cg * t_i - s_full / (1.0 - alpha)
@@ -515,7 +607,7 @@ def _bwd_kernel(
 
         store_start(i, parity)
 
-        s_ref[:] = s_ref[:] + jnp.sum(contrib, axis=0, keepdims=True)
+        s_ref[:] = s_ref[:] + contrib_tot
         lt_ref[:] = lt_in
         return (i - 1,)
 

@@ -217,7 +217,6 @@ def _forward(payload, static, want_residuals: bool):
     num_tiles = tiles_x * tiles_y
     interpret = _use_interpret()
     g_pad = _round_up(g, GW)
-    n_attr_pad = pad_attr_rows(n_attr)
 
     def padg(x):
         return jnp.pad(x, (0, g_pad - g))
@@ -318,29 +317,51 @@ def _forward(payload, static, want_residuals: bool):
     tile = jnp.clip(
         base_e + (col_f + row_f * tiles_x).astype(jnp.int32), 0, num_tiles
     )
-    # Conservative per-pair ellipse-tile cull: the bounding rect includes
-    # corner tiles the ellipse misses. If alpha < 1/255 over the whole
-    # tile — bounded via qf(d) >= lambda_min(conic) * |d|^2 at the
-    # rect-nearest pixel center — the compositor would zero every
-    # contribution anyway (ALPHA_THRESHOLD), so drop the pair into the
-    # invalid segment. Exact by construction; the margin covers fp
-    # discrepancy between this bound and the kernel's per-pixel alpha.
+    # Exact per-pair ellipse-tile cull: the bounding rect includes corner
+    # tiles the ellipse misses. The kernel zeroes every alpha < 1/255
+    # (ALPHA_THRESHOLD), so a pair whose q(d) = 0.5*ca*dx^2 + 0.5*cc*dy^2
+    # + cb*dx*dy exceeds log(255*op) over the WHOLE tile contributes
+    # nothing — drop it into the invalid segment. The minimum of the PD
+    # quadratic over the tile's pixel-center box is computed EXACTLY: zero
+    # if the mean is inside the box, else the min over the four edges
+    # (convexity puts the constrained min on the boundary), each a clamped
+    # 1D quadratic minimization. The continuous box min lower-bounds the
+    # discrete pixel-center min, so the cull is conservative; the margin
+    # covers fp discrepancy vs the kernel's per-pixel alpha (wider in fast
+    # mode, where the kernel reads bf16-rounded conics: ~0.8% rel on q).
     mx_e, my_e = expanded[0], expanded[1]
     ca_e, cb_e, cc_e, op_e = (
         expanded[2], expanded[3], expanded[4], expanded[5]
     )
     txp = (tile % tiles_x).astype(jnp.float32) * TILE
     typ = (tile // tiles_x).astype(jnp.float32) * TILE
-    dxn = jnp.clip(mx_e, txp, txp + (TILE - 1)) - mx_e
-    dyn = jnp.clip(my_e, typ, typ + (TILE - 1)) - my_e
-    d2 = dxn * dxn + dyn * dyn
-    lam_min = jnp.maximum(
-        0.5 * (ca_e + cc_e)
-        - jnp.sqrt(jnp.maximum((0.5 * (ca_e - cc_e)) ** 2 + cb_e * cb_e, 0.0)),
+    dx0 = txp - mx_e
+    dx1 = dx0 + (TILE - 1)
+    dy0 = typ - my_e
+    dy1 = dy0 + (TILE - 1)
+    inside = (dx0 <= 0.0) & (dx1 >= 0.0) & (dy0 <= 0.0) & (dy1 >= 0.0)
+    ca_s = jnp.maximum(ca_e, 1e-12)
+    cc_s = jnp.maximum(cc_e, 1e-12)
+
+    def q_at_x(a):  # min over dy in [dy0, dy1] of q(a, dy)
+        yc = jnp.clip(-cb_e * a / cc_s, dy0, dy1)
+        return 0.5 * ca_e * a * a + cb_e * a * yc + 0.5 * cc_e * yc * yc
+
+    def q_at_y(b):  # min over dx in [dx0, dx1] of q(dx, b)
+        xc = jnp.clip(-cb_e * b / ca_s, dx0, dx1)
+        return 0.5 * ca_e * xc * xc + cb_e * xc * b + 0.5 * cc_e * b * b
+
+    q_min = jnp.where(
+        inside,
         0.0,
+        jnp.minimum(
+            jnp.minimum(q_at_x(dx0), q_at_x(dx1)),
+            jnp.minimum(q_at_y(dy0), q_at_y(dy1)),
+        ),
     )
-    no_hit = 0.5 * lam_min * d2 > (
-        jnp.log(255.0 * jnp.maximum(op_e, 1e-12)) + 1e-3
+    cull_margin = 6e-2 if precision == "fast" else 1e-3
+    no_hit = q_min > (
+        jnp.log(255.0 * jnp.maximum(op_e, 1e-12)) + cull_margin
     )
     tile = jnp.where(no_hit, num_tiles, tile)
     valid = pair_iota < total
@@ -423,11 +444,33 @@ def _forward(payload, static, want_residuals: bool):
         x_rel_s, y_rel_s = _unpack_f16_pair(sorted_all[n_car])
         ca_s, cb_s = _unpack_bf16_pair(sorted_all[n_car + 1])
         cc_s, op_s = _unpack_bf16_pair(sorted_all[n_car + 2])
-        sorted_rows = [
-            x_rel_s + (tile_s % tiles_x).astype(jnp.float32) * TILE,
-            y_rel_s + (tile_s // tiles_x).astype(jnp.float32) * TILE,
-            ca_s, cb_s, cc_s, op_s,
-        ]
+        if want_residuals:
+            sorted_rows = [
+                x_rel_s + (tile_s % tiles_x).astype(jnp.float32) * TILE,
+                y_rel_s + (tile_s // tiles_x).astype(jnp.float32) * TILE,
+                ca_s, cb_s, cc_s, op_s,
+            ]
+        else:
+            # Inference coefficient layout: rows 0-5 become the per-pair
+            # quadratic coefficients of power + log(op) over the
+            # TILE-RELATIVE pixel basis [px^2, px, py^2, py, px*py, 1]
+            # (pallas_kernels._coef_basis), so the forward kernel's alpha
+            # exponent is one (CHUNK, 8) @ (8, PIX) MXU matmul instead of
+            # ~11 VPU flops per (pair, pixel). log(op) rides as an extra
+            # row after the channels for the power>0 guard. The backward
+            # needs the plain geometry rows, so training keeps the old
+            # layout (this branch builds no residuals).
+            log_op_s = jnp.log(jnp.maximum(op_s, 1e-12))
+            sorted_rows = [
+                -0.5 * ca_s,
+                ca_s * x_rel_s + cb_s * y_rel_s,
+                -0.5 * cc_s,
+                cc_s * y_rel_s + cb_s * x_rel_s,
+                -cb_s,
+                log_op_s
+                - 0.5 * (ca_s * x_rel_s * x_rel_s + cc_s * y_rel_s * y_rel_s)
+                - cb_s * x_rel_s * y_rel_s,
+            ]
         # Reassemble the 24-bit channel rows: three int32 operands per
         # quad-group (masked shifts kill sign extension), then any
         # unpacked f32 tail rows.
@@ -453,6 +496,8 @@ def _forward(payload, static, want_residuals: bool):
             ((sorted_keys[0] & 0x7FFFF) << 12) | 0x800, jnp.float32
         )
         sorted_rows = sorted_rows[: n_attr - 1] + [depth_sorted]
+        if not want_residuals:
+            sorted_rows.append(log_op_s)  # row n_attr: power>0 guard
     elif pack_channels:
         pair_rows = [expanded[i] for i in range(n_attr)]
         # Geometry rows (x, y, conic, opacity) ride the sort in f32; channel
@@ -486,8 +531,10 @@ def _forward(payload, static, want_residuals: bool):
         sorted_rows = sorted_all[n_car : n_car + n_attr]
     pair_perm = sorted_all[0] if want_residuals else None
 
-    attrs_pairs = jnp.zeros((n_attr_pad, pair_budget), jnp.float32)
-    attrs_pairs = attrs_pairs.at[:n_attr].set(jnp.stack(sorted_rows))
+    coef = precision == "fast" and not want_residuals
+    n_rows = n_attr + 1 if coef else n_attr
+    attrs_pairs = jnp.zeros((pad_attr_rows(n_rows), pair_budget), jnp.float32)
+    attrs_pairs = attrs_pairs.at[:n_rows].set(jnp.stack(sorted_rows))
 
     boundaries = jnp.arange(num_tiles + 1, dtype=jnp.int32)
     if not wide_ranks:
@@ -499,7 +546,7 @@ def _forward(payload, static, want_residuals: bool):
     out_tiles, done = composite_pairs_fwd(
         attrs_pairs, tile_starts,
         n_ch=n_ch, tiles_x=tiles_x, tiles_y=tiles_y,
-        interpret=interpret, fast=precision == "fast",
+        interpret=interpret, fast=precision == "fast", coef=coef,
     )
     if not want_residuals:
         return out_tiles, None

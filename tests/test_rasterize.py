@@ -364,12 +364,14 @@ class TestPairOverflowCounter:
         sg = project(means, covs, ops, channels)
         counts, _, _ = _tile_rects(sg, W // 16, H // 16, 9)
         total = int(counts.sum())
+        factor = 0.5  # small enough that budget-quantum rounding (lcm of
+        # OUT_BLOCK and CHUNK) can't lift the budget past the scene's pairs
         quantum = OUT_BLOCK * CHUNK // math.gcd(OUT_BLOCK, CHUNK)
-        budget = ((min(int(n * 1.0) + 1, n * 9) + quantum - 1)
+        budget = ((min(int(n * factor) + 1, n * 9) + quantum - 1)
                   // quantum) * quantum
         want = max(total - budget, 0)
         assert want > 0, "fixture must actually overflow"
-        got = int(count_pair_overflow(sg, (H, W), pair_budget_factor=1.0))
+        got = int(count_pair_overflow(sg, (H, W), pair_budget_factor=factor))
         assert got == want
 
     def test_render_surfaces_counter(self):
