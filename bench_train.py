@@ -47,8 +47,14 @@ def main() -> None:
           f"({size}px, batch {batch})", file=sys.stderr)
 
     fast = "--fast" in sys.argv
+    bf16 = "--bf16" in sys.argv
+    remat_policy = "nothing"
+    if "--remat-policy" in sys.argv:
+        remat_policy = sys.argv[sys.argv.index("--remat-policy") + 1]
     overrides = [
         f"dataset.image_shape=[{size},{size}]",
+        f"model.remat_policy={remat_policy}",
+        *(["model.compute_dtype=bfloat16"] if bf16 else []),
         # Half-precision rasterizer sort payload + bf16 compositor matmuls
         # (gradients flow through the same quantized attributes).
         *(["model.decoder.precision=fast"] if fast else []),

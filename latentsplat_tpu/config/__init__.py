@@ -39,6 +39,19 @@ class ModelCfg:
     # trading ~30% step time for the activation memory that blocks
     # 256px batch-2 training on a 16 GB chip.
     remat: bool = False
+    # Which intermediates jax.checkpoint may keep when remat=true:
+    # "nothing" recomputes everything (minimum memory); "dots" saves
+    # matmul AND convolution outputs so the backward recomputes only the
+    # cheap elementwise chains — much less recompute FLOP for a memory
+    # increase that 128px shapes (and 256px batch 1) can afford.
+    remat_policy: Literal["nothing", "dots"] = "nothing"
+    # bfloat16 compute for the heavy network submodules (encoder backbone,
+    # VAE, LPIPS, discriminator): parameters stay f32 (master copies, Adam
+    # state, updates), activations and matmuls ride bf16 — native MXU rate
+    # and half the HBM activation traffic. bf16 shares f32's exponent
+    # range, so no loss scaling is needed. The rasterizer, sampling, and
+    # loss reductions stay f32.
+    compute_dtype: Literal["float32", "bfloat16"] = "float32"
 
 
 @dataclass

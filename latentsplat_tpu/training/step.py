@@ -186,6 +186,49 @@ def _where_finite(flag, new_tree, old_tree):
     )
 
 
+def _dots_and_convs_saveable(prim, *_, **__) -> bool:
+    """checkpoint policy: keep matmul/conv outputs, recompute the rest.
+
+    The builtin dots_*_saveable policies match only dot_general; the VAE,
+    LPIPS-VGG, and backbone stem are convolution-heavy, so conv outputs
+    must be saveable too for the policy to cut their recompute FLOPs.
+    """
+    return getattr(prim, "name", "") in ("dot_general", "conv_general_dilated")
+
+
+def _remat(fn, cfg):
+    """jax.checkpoint with the configured save policy (cfg.remat_policy)."""
+    if cfg.remat_policy == "dots":
+        return jax.checkpoint(fn, policy=_dots_and_convs_saveable)
+    return jax.checkpoint(fn)
+
+
+def _cast_floats(tree, dtype):
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+        else x,
+        tree,
+    )
+
+
+def _mixed(fn, cfg):
+    """bf16 compute wrapper (cfg.compute_dtype): params + float inputs are
+    cast to bfloat16 so every op inside `fn` computes at native MXU rate
+    with half the activation bandwidth; outputs (and hence gradients of the
+    f32 master params, via AD through the casts) return to f32. bf16 keeps
+    f32's exponent range, so no loss scaling is required."""
+    if cfg.compute_dtype != "bfloat16":
+        return fn
+
+    def wrapped(*args, **kwargs):
+        args = _cast_floats(args, jnp.bfloat16)
+        kwargs = _cast_floats(kwargs, jnp.bfloat16)
+        return _cast_floats(fn(*args, **kwargs), jnp.float32)
+
+    return wrapped
+
+
 def generator_forward(
     model: LatentSplat,
     losses: Dict[str, LossGroup],
@@ -203,6 +246,12 @@ def generator_forward(
     """
     cfg = model.cfg
     k_ctx, k_tgt, k_enc, k_gauss, k_latent = jax.random.split(rng, 5)
+
+    # bf16 compute for the heavy submodules (no-ops at float32). The
+    # rasterizer, posterior sampling, and loss reductions stay f32.
+    ae_encode = _mixed(model.ae_encode, cfg)
+    ae_decode = _mixed(model.ae_decode, cfg)
+    discriminate = _mixed(model.discriminate, cfg)
 
     preds = {name: Prediction() for name in GROUP_NAMES}
     target_image = batch["target"]["image"]
@@ -238,14 +287,14 @@ def generator_forward(
         cfg.encode_latents
         and (flags.target_render_latent or flags.target_render_image or flags.target_combined)
     ):
-        posterior = model.ae_encode(params_gen, batch["context"]["image"])
+        posterior = ae_encode(params_gen, batch["context"]["image"])
         preds["context"] = preds["context"].replace(posterior=posterior)
         context_latents = posterior.sample(k_ctx)
         if flags.context:
             latents_to_decode["context"] = context_latents
 
     if flags.target_autoencoder or flags.target_render_latent:
-        posterior = model.ae_encode(params_gen, target_image)
+        posterior = ae_encode(params_gen, target_image)
         preds["target_autoencoder"] = preds["target_autoencoder"].replace(
             posterior=posterior
         )
@@ -258,15 +307,31 @@ def generator_forward(
             )
 
     if flags.needs_render:
-        def encode(p, c, s, k, f):
-            return model.apply_encoder(p, c, s, k, features=f, deterministic=False)
+        if cfg.compute_dtype == "bfloat16":
+            # Cast params + image/features only: camera geometry (extrinsics,
+            # intrinsics, near/far) must stay f32 — epipolar sample positions
+            # lose ~3 decimal digits in bf16, which visibly corrupts the
+            # projected sampling lines. Outputs return to f32 so the
+            # rasterizer and sampling stay exact.
+            def encode(p, c, s, k, f):
+                c = dict(c)
+                c["image"] = c["image"].astype(jnp.bfloat16)
+                out = model.apply_encoder(
+                    _cast_floats(p, jnp.bfloat16), c, s, k,
+                    features=None if f is None else f.astype(jnp.bfloat16),
+                    deterministic=False,
+                )
+                return _cast_floats(out, jnp.float32)
+        else:
+            def encode(p, c, s, k, f):
+                return model.apply_encoder(p, c, s, k, features=f, deterministic=False)
 
         if cfg.remat:
             # Rematerialize the encoder's activations in the backward pass
             # (jax.checkpoint): DINO + epipolar transformer activations
             # dominate HBM at 256px (README.md:63-67's 40 GB footprint).
             # Latent features (encode_latents) ride as a checkpointed input.
-            encode = jax.checkpoint(encode)
+            encode = _remat(encode, cfg)
         gaussians = encode(
             params_gen,
             batch["context"],
@@ -319,9 +384,9 @@ def generator_forward(
                     )
                 else:
                     skip_z = None
-                decode = model.ae_decode
+                decode = ae_decode
                 if cfg.remat:
-                    decode = jax.checkpoint(model.ae_decode)
+                    decode = _remat(ae_decode, cfg)
                 preds["target_combined"] = preds["target_combined"].replace(
                     image=decode(params_gen, z, skip_z)
                 )
@@ -333,7 +398,7 @@ def generator_forward(
         stacked = jnp.concatenate(
             [v.reshape(-1, *v.shape[-3:]) for v in latents_to_decode.values()], axis=0
         )
-        decoded = model.ae_decode(params_gen, stacked)
+        decoded = ae_decode(params_gen, stacked)
         offset = 0
         for name, shape in shapes.items():
             count = 1
@@ -348,14 +413,20 @@ def generator_forward(
 
     # Discriminator logits for generator losses (ref: model_wrapper.py:411-419).
     for name in flags.gen_gan:
-        logits_fake = model.discriminate(params_disc, preds[name].image)
+        logits_fake = discriminate(params_disc, preds[name].image)
         preds[name] = preds[name].replace(logits_fake=logits_fake)
 
     # Losses.
-    lpips_fn = model.lpips_fn(lpips_params)
+    if cfg.compute_dtype == "bfloat16":
+        # VGG weights must be cast too (they ride a closure, not the args).
+        lpips_fn = _mixed(
+            model.lpips_fn(_cast_floats(lpips_params, jnp.bfloat16)), cfg
+        )
+    else:
+        lpips_fn = model.lpips_fn(lpips_params)
     if cfg.remat:
         # VGG activations at 256px are ~GBs across the two LPIPS sites.
-        lpips_fn = jax.checkpoint(lpips_fn)
+        lpips_fn = _remat(lpips_fn, cfg)
     nll_total = jnp.asarray(0.0)
     logs: Dict[str, jnp.ndarray] = {}
     if rasterizer_dropped is not None:
@@ -449,17 +520,19 @@ def make_train_step(
         params_disc = state.params_disc
         opt_disc_state = state.opt_disc
         if flags.disc:
+            discriminate = _mixed(model.discriminate, model.cfg)
+
             def disc_loss_fn(p_disc):
                 total = jnp.asarray(0.0)
                 d_logs = {}
                 for name in flags.disc:
                     fake = jax.lax.stop_gradient(aux["fakes"][name])
-                    logits_fake = model.discriminate(p_disc, fake)
+                    logits_fake = discriminate(p_disc, fake)
                     real_img = (
                         batch["context"]["image"] if name == "context"
                         else batch["target"]["image"]
                     )
-                    logits_real = model.discriminate(p_disc, real_img)
+                    logits_real = discriminate(p_disc, real_img)
                     pred = Prediction(logits_fake=logits_fake, logits_real=logits_real)
                     group_total, group_logs = losses[name].discriminator_total(pred, step)
                     total = total + group_total

@@ -202,6 +202,56 @@ class TestRemat(TestFullVaeGan):
         new_state, logs = step_fn(state, self.batch, jax.random.PRNGKey(3), flags)
         assert bool(jnp.isfinite(logs["generator/total"]))
 
+    def test_remat_dots_policy_matches_full_recompute(self):
+        """remat_policy only changes WHAT the backward recomputes, never the
+        math: losses and updated params must match the nothing-saved policy
+        (CPU arithmetic is deterministic, so exact equality is expected)."""
+        results = []
+        for policy in ("nothing", "dots"):
+            self.model_cfg.remat = True
+            self.model_cfg.remat_policy = policy
+            model, losses, state, step_fn = build(
+                self.model_cfg, self.loss_cfgs, self.batch, self.opt_cfg
+            )
+            flags = make_step_flags(losses, 0)
+            new_state, logs = step_fn(
+                state, self.batch, jax.random.PRNGKey(3), flags
+            )
+            results.append((float(logs["generator/total"]), new_state.params_gen))
+        assert results[0][0] == results[1][0]
+        leaves0 = jax.tree_util.tree_leaves(results[0][1])
+        leaves1 = jax.tree_util.tree_leaves(results[1][1])
+        for a, b in zip(leaves0, leaves1):
+            assert jnp.allclose(a, b, atol=1e-6), "policy changed the update"
+
+    # Don't rerun the inherited tests.
+    test_full_step_runs_and_updates = None
+    test_step_gating_masks_losses = None
+
+
+class TestComputeDtype(TestFullVaeGan):
+    """compute_dtype=bfloat16: heavy submodules run in bf16 with f32 master
+    params; the step must stay finite, update the params, and land within
+    a few percent of the f32 losses on the same batch."""
+
+    def test_bf16_step_close_to_f32(self):
+        totals = {}
+        for dtype in ("float32", "bfloat16"):
+            self.model_cfg.compute_dtype = dtype
+            model, losses, state, step_fn = build(
+                self.model_cfg, self.loss_cfgs, self.batch, self.opt_cfg
+            )
+            flags = make_step_flags(losses, 0)
+            new_state, logs = step_fn(
+                state, self.batch, jax.random.PRNGKey(3), flags
+            )
+            totals[dtype] = float(logs["generator/total"])
+            assert np.isfinite(totals[dtype])
+            # Master params stay f32 and actually move.
+            leaf = jax.tree_util.tree_leaves(new_state.params_gen)[0]
+            assert leaf.dtype == jnp.float32
+        assert totals["bfloat16"] == pytest.approx(totals["float32"], rel=0.05)
+
     # Don't rerun the inherited tests.
     test_full_step_runs_and_updates = None
     test_step_gating_masks_losses = None
