@@ -108,9 +108,13 @@ def main() -> None:
     times.sort()
     sec = times[len(times) // 2]
     print(f"step times: {['%.2f' % t for t in times]}", file=sys.stderr)
+    variant = (
+        ("_fast" if fast else "")
+        + ("_bf16" if bf16 else "")
+        + (f"_{remat_policy}" if remat_policy != "nothing" else "")
+    )
     result = {
-        "metric": f"train_step_{size}px_batch{batch}_vae_gan"
-                  + ("_fast" if fast else ""),
+        "metric": f"train_step_{size}px_batch{batch}_vae_gan" + variant,
         "value": round(1.0 / sec, 3),
         "unit": "steps/sec/chip",
         # Anchor: the reference trains this shape on a 40 GB A100
@@ -127,7 +131,7 @@ def main() -> None:
     record = dict(result)
     record["device"] = f"{dev.platform}:{dev.device_kind}"
     record["measured_unix"] = int(time.time())
-    (out_dir / f"train_step_{size}px_b{batch}{'_fast' if fast else ''}.json").write_text(
+    (out_dir / f"train_step_{size}px_b{batch}{variant}.json").write_text(
         json.dumps(record, indent=1)
     )
 
