@@ -80,13 +80,20 @@ def main() -> None:
           f"({SIZE}px, batch {BATCH})", file=sys.stderr)
 
     batch = _arc_batch(b=BATCH, v_ctx=2, v_tgt=4, h=SIZE, w=SIZE)
+    t0 = time.perf_counter()
     params = model.init_params(jax.random.PRNGKey(0), batch)
+    jax.tree.map(lambda x: np.asarray(jax.device_get(x)).ravel()[:1], params)
+    print(f"init_params: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
     params_gen = params["generator"]
     params_disc = params["discriminator"]
     lpips_params = params["lpips"]
     k = jax.random.PRNGKey(1)
 
     results = {}
+
+    def report(name, sec):
+        results[name] = sec
+        print(f"{name}: {sec * 1e3:.1f} ms", flush=True)
 
     def encode(p):
         fn = lambda pp: model.apply_encoder(
@@ -101,8 +108,11 @@ def main() -> None:
             + _sum_tree(g.feature_harmonics.mean)
         )
 
-    gaussians = None
-    if only in (None, "encoder", "render"):
+    if only in (None, "encoder"):
+        fn = jax.jit(jax.grad(encode))
+        report("encoder_fwd_bwd", _time(fn, params_gen))
+
+    if only in (None, "render"):
         t0 = time.perf_counter()
         gaussians = jax.jit(
             lambda p: model.apply_encoder(
@@ -116,11 +126,6 @@ def main() -> None:
         print(f"encoder fwd-only compile+run: {time.perf_counter()-t0:.1f}s",
               file=sys.stderr)
 
-    if only in (None, "encoder"):
-        fn = jax.jit(jax.grad(encode))
-        results["encoder_fwd_bwd"] = _time(fn, params_gen)
-
-    if only in (None, "render"):
         def render_loss(means, covs, ops, csh, fsh):
             from latentsplat_tpu.model.types import Gaussians
 
@@ -143,9 +148,9 @@ def main() -> None:
         args = (gs.means, gs.covariances, gs.opacities,
                 gs.color_harmonics, gs.feature_harmonics)
         fn_f = jax.jit(render_loss)
-        results["render_fwd"] = _time(fn_f, *args)
+        report("render_fwd", _time(fn_f, *args))
         fn = jax.jit(jax.grad(render_loss, argnums=(0, 1, 2, 3, 4)))
-        results["render_fwd_bwd"] = _time(fn, *args)
+        report("render_fwd_bwd", _time(fn, *args))
 
     if only in (None, "vae"):
         hz = SIZE // 8
@@ -166,7 +171,7 @@ def main() -> None:
             return jnp.sum(fn(zz))
 
         fn = jax.jit(jax.grad(vae_loss, argnums=(0, 1)))
-        results["vae_decode_fwd_bwd"] = _time(fn, params_gen, z)
+        report("vae_decode_fwd_bwd", _time(fn, params_gen, z))
 
     if only in (None, "lpips"):
         pred = jax.random.uniform(
@@ -182,7 +187,7 @@ def main() -> None:
             return jnp.sum(fn(x, tgt))
 
         fn = jax.jit(jax.grad(lpips_loss))
-        results["lpips_one_site_fwd_bwd"] = _time(fn, pred)
+        report("lpips_one_site_fwd_bwd", _time(fn, pred))
 
     if only in (None, "disc"):
         fakes = jax.random.uniform(
@@ -202,11 +207,10 @@ def main() -> None:
 
         fn1 = jax.jit(jax.grad(gen_side))
         fn2 = jax.jit(jax.grad(disc_side))
-        results["disc_gen_side_fwd_bwd"] = _time(fn1, fakes)
-        results["disc_update_side_fwd_bwd"] = _time(fn2, params_disc)
+        report("disc_gen_side_fwd_bwd", _time(fn1, fakes))
+        report("disc_update_side_fwd_bwd", _time(fn2, params_disc))
 
-    for name, sec in results.items():
-        print(f"{name}: {sec * 1e3:.1f} ms")
+    print("done:", len(results), "components", file=sys.stderr)
 
 
 if __name__ == "__main__":

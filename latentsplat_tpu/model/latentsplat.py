@@ -94,10 +94,14 @@ class LatentSplat:
             init_features = jnp.zeros(
                 (b * v, h // ds, w // ds, self.autoencoder.d_latent)
             )
-        enc_vars = self.encoder.init(
-            {"params": k_enc, "sample": k_sample}, context, 0,
-            features=init_features,
-        )
+        # Every .init runs under jit: flax init executed eagerly dispatches
+        # thousands of single ops, which costs minutes over a remote-TPU
+        # tunnel (~25 ms/dispatch) where one compiled call takes seconds.
+        enc_vars = jax.jit(
+            lambda rngs, ctx, feats: self.encoder.init(
+                rngs, ctx, 0, features=feats
+            )
+        )({"params": k_enc, "sample": k_sample}, context, init_features)
         gen = {"encoder": enc_vars["params"]}
 
         if self.autoencoder_has_params:
@@ -106,16 +110,20 @@ class LatentSplat:
                 if self.autoencoder.expects_skip
                 else None
             )
-            ae_vars = self.autoencoder.init(k_ae, jnp.zeros((1, h, w, 3)), fake_skip)
+            ae_vars = jax.jit(self.autoencoder.init)(
+                k_ae, jnp.zeros((1, h, w, 3)), fake_skip
+            )
             gen["autoencoder"] = ae_vars["params"]
 
         params = {"generator": gen}
 
         if self.discriminator is not None:
-            disc_vars = self.discriminator.init(k_disc, jnp.zeros((1, h, w, 3)))
+            disc_vars = jax.jit(self.discriminator.init)(
+                k_disc, jnp.zeros((1, h, w, 3))
+            )
             params["discriminator"] = disc_vars["params"]
 
-        lpips_vars = self.lpips.init(
+        lpips_vars = jax.jit(self.lpips.init)(
             k_lpips, jnp.zeros((1, 32, 32, 3)), jnp.zeros((1, 32, 32, 3))
         )
         params["lpips"] = lpips_vars["params"]
