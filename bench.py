@@ -41,13 +41,13 @@ FEATURE_SH = 9       # degree 2
 ITERS = 5
 
 # Static pair-buffer bound (see ops/rasterize/tiled.py). With the
-# threshold-aware per-axis extent rects (camera.py) the bench scene
-# measures 2.087 tile-pairs per gaussian across its views (exact
-# tile-rect duplication counts, max per-view ratio 2.103), so 2.16x leaves
-# >=2.5% headroom and never truncates — and any budget >= the real pair
-# count renders identically
+# threshold-aware per-axis extent rects (camera.py) AND the pre-expansion
+# exact ellipse-tile cull (_tile_rects), the bench scene measures 1.887
+# tile-pairs per gaussian max across its views (fast-mode cull margin), so
+# 1.95x leaves >=3% headroom and never truncates — and any budget >= the
+# real pair count renders identically
 # (tests/test_rasterize.py::TestPairBudget::test_large_budget_matches_default).
-PAIR_BUDGET_FACTOR = 2.16
+PAIR_BUDGET_FACTOR = 1.95
 
 
 def make_scene(key):

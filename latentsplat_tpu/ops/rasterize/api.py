@@ -152,6 +152,7 @@ def render(
                 sg, image_shape,
                 max_tiles_per_gaussian=max_tiles_per_gaussian,
                 pair_budget_factor=pair_budget_factor,
+                precision=precision,
             )
             return (
                 *composite_tiled(

@@ -82,6 +82,14 @@ SINGLE_CALL_ROWS = 1_300_000
 RANK_BITS = 19  # G < 2^19 gaussians; composite key = tile << RANK_BITS | rank
 
 
+def _cull_margin(precision: str) -> float:
+    """Log-space margin of the exact ellipse-tile cull (see _tile_rects):
+    covers fp discrepancy vs the kernel's per-pixel alpha evaluation —
+    wider in fast mode, where the kernel reads bf16-rounded conics
+    (~0.8% rel on q)."""
+    return 6e-2 if precision == "fast" else 1e-3
+
+
 def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
@@ -193,7 +201,8 @@ def _depth_ranks(depth_key: jnp.ndarray) -> jnp.ndarray:
 def _pair_composite(payload, static):
     """Differentiable core: per-gaussian rows -> tile outputs.
 
-    payload = (rows tuple (G,), counts (G,) int32, rank/base/nx (G,) int32);
+    payload = (rows tuple (G,), counts (G,) int32, rank/base/nx/mask (G,)
+    int32 — mask is the surviving-slot bitmask from _tile_rects);
     static = (n_ch, tiles_x, tiles_y, g, cap, n_attr, pack_channels,
     pair_budget, precision). The VJP owns the expansion + pair sort
     (forward) and the gradient unsort + per-gaussian segment reduction
@@ -211,7 +220,7 @@ def _pair_composite_fwd(payload, static):
 
 
 def _forward(payload, static, want_residuals: bool):
-    rows, counts, rank, base, nx = payload
+    rows, counts, rank, base, nx, mask = payload
     (n_ch, tiles_x, tiles_y, g, cap, n_attr, pack_channels,
      pair_budget, precision) = static
     num_tiles = tiles_x * tiles_y
@@ -264,6 +273,7 @@ def _forward(payload, static, want_residuals: bool):
         base_nx = base * 16 + jnp.minimum(nx, 15)  # base*16 < 2^24 exact
         meta_rows = [
             padg(base_nx.astype(jnp.float32)),
+            padg(mask.astype(jnp.float32)),  # < 2^cap <= 2^15: exact f32
         ]
     else:
         attr_exp_rows = list(rows)
@@ -271,6 +281,7 @@ def _forward(payload, static, want_residuals: bool):
             padg(rank.astype(jnp.float32)),
             padg(base.astype(jnp.float32)),
             padg(nx.astype(jnp.float32)),
+            padg(mask.astype(jnp.float32)),
         ]
     n_exp = len(attr_exp_rows)
     exp_rows = [padg(r) for r in attr_exp_rows] + meta_rows + [
@@ -293,77 +304,42 @@ def _forward(payload, static, want_residuals: bool):
         base_nx_e = expanded[n_exp].astype(jnp.int32)
         base_e = base_nx_e // 16
         nx_e = jnp.maximum(base_nx_e % 16, 1)
+        mask_e = expanded[n_exp + 1].astype(jnp.int32)
         rank_e = None  # fast mode orders by raw depth bits instead
     else:
         rank_e = expanded[n_exp].astype(jnp.int32)
         base_e = expanded[n_exp + 1].astype(jnp.int32)
         nx_e = jnp.maximum(expanded[n_exp + 2].astype(jnp.int32), 1)
+        mask_e = expanded[n_exp + 3].astype(jnp.int32)
     start_e = expanded[start_idx].astype(jnp.int32)
 
     pair_iota = jnp.arange(pair_budget, dtype=jnp.int32)
     slot = pair_iota - start_e
-    # Rect decode slot -> (row, col). Integer div/mod by the DYNAMIC nx_e
-    # lowers to a long emulation sequence per element on TPU; exact float
-    # math replaces it: slot < cap <= 15 for painted columns, and
-    # floor((a + 0.5) / b) == a // b exactly for small non-negative ints
-    # (the +0.5 never crosses an integer boundary and f32 rounding error
-    # is far below the 0.5/15 margin). Unpainted tail columns hold zeros
-    # (start=0, nx=1) -> garbage tiles; clamp so the int32 key math can't
-    # overflow, then mask.
-    slot_f = jnp.clip(slot, 0, 256).astype(jnp.float32)
+    # Slot decode. Pairs enumerate the SURVIVING rect slots (the exact
+    # ellipse-tile cull runs pre-expansion in _tile_rects, so culled tiles
+    # never ride the expansion or the sort): slot s maps to the position of
+    # the (s+1)-th set bit of the survivor mask, then to the rect's
+    # (row, col). Integer div/mod by the DYNAMIC nx_e lowers to a long
+    # emulation sequence per element on TPU; exact float math replaces it:
+    # pos < cap <= 15, and floor((a + 0.5) / b) == a // b exactly for small
+    # non-negative ints (the +0.5 never crosses an integer boundary and f32
+    # rounding error is far below the 0.5/15 margin). Unpainted tail
+    # columns hold zeros (start=0, nx=1, mask=0) -> garbage tiles; clamp so
+    # the int32 key math can't overflow, then mask via `valid`.
+    slot_c = jnp.clip(slot, 0, cap)
+    cum = jnp.zeros_like(slot_c)
+    pos = jnp.zeros_like(slot_c)
+    for b in range(cap):
+        bit = (mask_e >> b) & 1
+        pos = jnp.where((cum == slot_c) & (bit == 1), b, pos)
+        cum = cum + bit
+    pos_f = pos.astype(jnp.float32)
     nx_f = nx_e.astype(jnp.float32)
-    row_f = jnp.floor((slot_f + 0.5) / nx_f)
-    col_f = slot_f - row_f * nx_f
+    row_f = jnp.floor((pos_f + 0.5) / nx_f)
+    col_f = pos_f - row_f * nx_f
     tile = jnp.clip(
         base_e + (col_f + row_f * tiles_x).astype(jnp.int32), 0, num_tiles
     )
-    # Exact per-pair ellipse-tile cull: the bounding rect includes corner
-    # tiles the ellipse misses. The kernel zeroes every alpha < 1/255
-    # (ALPHA_THRESHOLD), so a pair whose q(d) = 0.5*ca*dx^2 + 0.5*cc*dy^2
-    # + cb*dx*dy exceeds log(255*op) over the WHOLE tile contributes
-    # nothing — drop it into the invalid segment. The minimum of the PD
-    # quadratic over the tile's pixel-center box is computed EXACTLY: zero
-    # if the mean is inside the box, else the min over the four edges
-    # (convexity puts the constrained min on the boundary), each a clamped
-    # 1D quadratic minimization. The continuous box min lower-bounds the
-    # discrete pixel-center min, so the cull is conservative; the margin
-    # covers fp discrepancy vs the kernel's per-pixel alpha (wider in fast
-    # mode, where the kernel reads bf16-rounded conics: ~0.8% rel on q).
-    mx_e, my_e = expanded[0], expanded[1]
-    ca_e, cb_e, cc_e, op_e = (
-        expanded[2], expanded[3], expanded[4], expanded[5]
-    )
-    txp = (tile % tiles_x).astype(jnp.float32) * TILE
-    typ = (tile // tiles_x).astype(jnp.float32) * TILE
-    dx0 = txp - mx_e
-    dx1 = dx0 + (TILE - 1)
-    dy0 = typ - my_e
-    dy1 = dy0 + (TILE - 1)
-    inside = (dx0 <= 0.0) & (dx1 >= 0.0) & (dy0 <= 0.0) & (dy1 >= 0.0)
-    ca_s = jnp.maximum(ca_e, 1e-12)
-    cc_s = jnp.maximum(cc_e, 1e-12)
-
-    def q_at_x(a):  # min over dy in [dy0, dy1] of q(a, dy)
-        yc = jnp.clip(-cb_e * a / cc_s, dy0, dy1)
-        return 0.5 * ca_e * a * a + cb_e * a * yc + 0.5 * cc_e * yc * yc
-
-    def q_at_y(b):  # min over dx in [dx0, dx1] of q(dx, b)
-        xc = jnp.clip(-cb_e * b / ca_s, dx0, dx1)
-        return 0.5 * ca_e * xc * xc + cb_e * xc * b + 0.5 * cc_e * b * b
-
-    q_min = jnp.where(
-        inside,
-        0.0,
-        jnp.minimum(
-            jnp.minimum(q_at_x(dx0), q_at_x(dx1)),
-            jnp.minimum(q_at_y(dy0), q_at_y(dy1)),
-        ),
-    )
-    cull_margin = 6e-2 if precision == "fast" else 1e-3
-    no_hit = q_min > (
-        jnp.log(255.0 * jnp.maximum(op_e, 1e-12)) + cull_margin
-    )
-    tile = jnp.where(no_hit, num_tiles, tile)
     valid = pair_iota < total
     # Fast mode packs (tile << 19 | depth code) into ONE key with no
     # gaussian-count ceiling and no depth-rank sorts: the top 19 bits of a
@@ -597,21 +573,45 @@ def _pair_composite_bwd(static, residuals, g_tiles):
     )
     d_rows_orig = tuple(d_gauss[i, :g] for i in range(n_attr))
     zero_i = jnp.zeros((g,), jnp.int32)
-    return ((d_rows_orig, zero_i, zero_i, zero_i, zero_i),)
+    return ((d_rows_orig, zero_i, zero_i, zero_i, zero_i, zero_i),)
 
 
 _pair_composite.defvjp(_pair_composite_fwd, _pair_composite_bwd)
 
 
-def _tile_rects(sg: ScreenGaussians, tiles_x: int, tiles_y: int, cap: int):
-    """Per-gaussian tile-rect bookkeeping: (counts, base, nx) int32 rows.
+def _tile_rects(
+    sg: ScreenGaussians,
+    tiles_x: int,
+    tiles_y: int,
+    cap: int,
+    cull_margin: float = 1e-3,
+):
+    """Per-gaussian tile bookkeeping: (counts, base, nx, mask) int32 rows.
 
-    Exact per-gaussian duplication counts. Dead gaussians emit ONE pair
-    with an invalid tile id: it sorts past every real segment (never
+    Exact per-gaussian duplication counts with the exact ellipse-tile cull
+    applied BEFORE expansion: for each slot of the bounding tile-rect, the
+    minimum of the PD quadratic q(d) = 0.5*ca*dx^2 + 0.5*cc*dy^2 + cb*dx*dy
+    over the tile's pixel-center box is computed exactly (zero if the mean
+    is inside the box, else the min over the four edges — each a clamped 1D
+    quadratic minimization; convexity puts the constrained min on the
+    boundary). A tile whose q_min exceeds log(255*op) holds only alphas the
+    compositor zeroes (< ALPHA_THRESHOLD), so its pair is never emitted —
+    it would otherwise ride the expansion AND the pair sort for nothing
+    (~10% of rect pairs at the flagship scale). `mask` records which rect
+    slots survive (bit s = slot s emits a pair), so the post-expansion
+    decode can recover each pair's tile; `counts` is the popcount. The
+    continuous box min lower-bounds the discrete pixel-center min, so the
+    cull is conservative; `cull_margin` covers fp discrepancy vs the
+    kernel's per-pixel alpha (wider in fast mode, where the kernel reads
+    bf16-rounded conics).
+
+    Dead gaussians (and live ones whose every rect tile is culled) emit ONE
+    pair with an invalid tile id: it sorts past every real segment (never
     composited) and keeps counts >= 1, which bounds how many gaussian
     blocks one expansion output block can span (see expand.py).
     Indices come from non-differentiable copies (they carry no grads).
     """
+    assert cap <= 24, "mask rides the expansion as an exact f32 (cap <= 24)"
     num_tiles = tiles_x * tiles_y
     alive = sg.radius > 0.0
     mean_nd = jax.lax.stop_gradient(sg.mean2d)
@@ -633,11 +633,59 @@ def _tile_rects(sg: ScreenGaussians, tiles_x: int, tiles_y: int, cap: int):
     nx = tx1 - tx0 + 1
     ny = ty1 - ty0 + 1
     n_rect = nx * ny  # may exceed cap for huge splats (then truncated)
+    rect_counts = jnp.minimum(n_rect, cap)
 
-    counts = jnp.where(alive, jnp.minimum(n_rect, cap), 1).astype(jnp.int32)
-    base = jnp.where(alive, ty0 * tiles_x + tx0, num_tiles).astype(jnp.int32)
-    nx_safe = jnp.where(alive, nx, 1).astype(jnp.int32)
-    return counts, base, nx_safe
+    # Per-slot exact ellipse cull over the rect enumeration.
+    mx, my = mean_nd[:, 0], mean_nd[:, 1]
+    conic_nd = jax.lax.stop_gradient(sg.conic)
+    op_nd = jax.lax.stop_gradient(sg.opacity)
+    ca, cb, cc = conic_nd[:, 0], conic_nd[:, 1], conic_nd[:, 2]
+    thresh = jnp.log(255.0 * jnp.maximum(op_nd, 1e-12)) + cull_margin
+    ca_s = jnp.maximum(ca, 1e-12)
+    cc_s = jnp.maximum(cc, 1e-12)
+    tx0_f = tx0.astype(jnp.float32)
+    ty0_f = ty0.astype(jnp.float32)
+    nx_f = nx.astype(jnp.float32)
+    mask = jnp.zeros(mx.shape, jnp.int32)
+    surv = jnp.zeros(mx.shape, jnp.int32)
+    for s in range(cap):
+        # Rect decode with exact float math (see _forward's slot decode).
+        row_f = jnp.floor((s + 0.5) / nx_f)
+        col_f = s - row_f * nx_f
+        txp = (tx0_f + col_f) * TILE
+        typ = (ty0_f + row_f) * TILE
+        dx0 = txp - mx
+        dx1 = dx0 + (TILE - 1)
+        dy0 = typ - my
+        dy1 = dy0 + (TILE - 1)
+        inside = (dx0 <= 0.0) & (dx1 >= 0.0) & (dy0 <= 0.0) & (dy1 >= 0.0)
+
+        def q_at_x(a):  # min over dy in [dy0, dy1] of q(a, dy)
+            yc = jnp.clip(-cb * a / cc_s, dy0, dy1)
+            return 0.5 * ca * a * a + cb * a * yc + 0.5 * cc * yc * yc
+
+        def q_at_y(b):  # min over dx in [dx0, dx1] of q(dx, b)
+            xc = jnp.clip(-cb * b / ca_s, dx0, dx1)
+            return 0.5 * ca * xc * xc + cb * xc * b + 0.5 * cc * b * b
+
+        q_min = jnp.where(
+            inside,
+            0.0,
+            jnp.minimum(
+                jnp.minimum(q_at_x(dx0), q_at_x(dx1)),
+                jnp.minimum(q_at_y(dy0), q_at_y(dy1)),
+            ),
+        )
+        bit = ((s < rect_counts) & (q_min <= thresh)).astype(jnp.int32)
+        mask = mask | (bit << s)
+        surv = surv + bit
+
+    empty = jnp.logical_or(surv == 0, jnp.logical_not(alive))
+    counts = jnp.where(empty, 1, surv).astype(jnp.int32)
+    base = jnp.where(empty, num_tiles, ty0 * tiles_x + tx0).astype(jnp.int32)
+    nx_safe = jnp.where(empty, 1, nx).astype(jnp.int32)
+    mask = jnp.where(empty, 1, mask)
+    return counts, base, nx_safe, mask
 
 
 def count_pair_overflow(
@@ -645,6 +693,7 @@ def count_pair_overflow(
     image_shape: tuple[int, int],
     max_tiles_per_gaussian: int = DEFAULT_MAX_TILES_PER_GAUSSIAN,
     pair_budget_factor: float = DEFAULT_PAIR_BUDGET_FACTOR,
+    precision: str = "exact",
 ) -> jnp.ndarray:
     """Number of tile pairs silently dropped by the static pair budget.
 
@@ -656,7 +705,9 @@ def count_pair_overflow(
     tiles_x, tiles_y = w // TILE, h // TILE
     cap = max_tiles_per_gaussian
     g = sg.num_gaussians
-    counts, _, _ = _tile_rects(sg, tiles_x, tiles_y, cap)
+    counts, _, _, _ = _tile_rects(
+        sg, tiles_x, tiles_y, cap, _cull_margin(precision)
+    )
     budget_quantum = OUT_BLOCK * CHUNK // math.gcd(OUT_BLOCK, CHUNK)
     pair_budget = _round_up(
         min(int(g * pair_budget_factor) + 1, g * cap), budget_quantum
@@ -680,8 +731,9 @@ def composite_tiled(
 
     `pair_budget_factor` bounds the static pair-buffer size at
     `factor * G` (XLA needs static shapes where CUDA allocates the exact
-    duplication count at runtime). Real scenes measure ~2.4 pairs per
-    gaussian at 256 px, so the default 4x never truncates in practice;
+    duplication count at runtime). Real scenes measure ~1.9 pairs per
+    gaussian at 256 px after the pre-expansion ellipse-tile cull
+    (_tile_rects), so the default 4x never truncates in practice;
     if it ever does, the pairs of the highest-indexed gaussians are
     dropped (see `count_pair_overflow` for the observability hook).
 
@@ -721,7 +773,9 @@ def composite_tiled(
     else:
         depth_key = jnp.where(alive, sg.depth, jnp.inf)
         rank = _depth_ranks(depth_key)
-    counts, base, nx_safe = _tile_rects(sg, tiles_x, tiles_y, cap)
+    counts, base, nx_safe, mask = _tile_rects(
+        sg, tiles_x, tiles_y, cap, _cull_margin(precision)
+    )
 
     rows = tuple(
         [
@@ -737,7 +791,7 @@ def composite_tiled(
     )
 
     out_tiles = _pair_composite(
-        (rows, counts, rank, base, nx_safe),
+        (rows, counts, rank, base, nx_safe, mask),
         (n_ch, tiles_x, tiles_y, g, cap, len(rows), pack_channels,
          pair_budget, precision),
     )  # (T, n_ch + 1, PIX)

@@ -362,7 +362,7 @@ class TestPairOverflowCounter:
         n = 512  # large enough that budget rounding can't hide truncation
         means, covs, ops, channels = make_gaussians(jax.random.PRNGKey(27), n)
         sg = project(means, covs, ops, channels)
-        counts, _, _ = _tile_rects(sg, W // 16, H // 16, 9)
+        counts, _, _, _ = _tile_rects(sg, W // 16, H // 16, 9)
         total = int(counts.sum())
         factor = 0.5  # small enough that budget-quantum rounding (lcm of
         # OUT_BLOCK and CHUNK) can't lift the budget past the scene's pairs
