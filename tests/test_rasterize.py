@@ -514,3 +514,65 @@ class TestRenderRemat:
         v1, g1 = jax.value_and_grad(lambda o: loss(o, True))(ops)
         np.testing.assert_allclose(np.asarray(v1), np.asarray(v0), rtol=0, atol=0)
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), rtol=0, atol=0)
+
+
+class TestTileRectMask:
+    """Pre-expansion ellipse-cull bookkeeping (tiled._tile_rects): counts
+    must equal the survivor-mask popcount, survivors must be a subset of
+    the bounding rect, and every pixel of a culled tile must be provably
+    below the compositor's alpha threshold."""
+
+    def test_counts_match_mask_and_cull_is_sound(self):
+        from latentsplat_tpu.ops.rasterize.tiled import TILE, _tile_rects
+
+        n = 256
+        means, covs, ops, channels = make_gaussians(jax.random.PRNGKey(31), n)
+        sg = project(means, covs, ops, channels)
+        tiles_x, tiles_y = W // TILE, H // TILE
+        cap = 9
+        counts, base, nx, mask = map(
+            np.asarray, _tile_rects(sg, tiles_x, tiles_y, cap)
+        )
+        alive = np.asarray(sg.radius) > 0.0
+        mean2d = np.asarray(sg.mean2d)
+        conic = np.asarray(sg.conic)
+        op = np.asarray(sg.opacity)
+
+        assert (counts >= 1).all()
+        popcnt = np.array([bin(int(m)).count("1") for m in mask])
+        np.testing.assert_array_equal(counts, popcnt)
+
+        num_tiles = tiles_x * tiles_y
+        for i in range(n):
+            if not alive[i] or base[i] == num_tiles:
+                assert mask[i] == 1 and counts[i] == 1
+                continue
+            for s in range(cap):
+                if not (mask[i] >> s) & 1:
+                    continue
+                row, col = s // nx[i], s % nx[i]
+                tile = base[i] + row * tiles_x + col
+                assert 0 <= tile < num_tiles
+                # Every surviving slot lies inside the clamped rect.
+                assert col < nx[i]
+            # Culled rect slots: per-pixel alpha strictly below 1/255.
+            for s in range(min(int(nx[i]) * cap, cap)):
+                if (mask[i] >> s) & 1:
+                    continue
+                row, col = s // nx[i], s % nx[i]
+                tile = base[i] + row * tiles_x + col
+                if tile >= num_tiles or col >= nx[i]:
+                    continue
+                ty, tx = tile // tiles_x, tile % tiles_x
+                px, py = np.meshgrid(
+                    tx * TILE + np.arange(TILE), ty * TILE + np.arange(TILE)
+                )
+                dx = px - mean2d[i, 0]
+                dy = py - mean2d[i, 1]
+                q = (
+                    0.5 * conic[i, 0] * dx * dx
+                    + 0.5 * conic[i, 2] * dy * dy
+                    + conic[i, 1] * dx * dy
+                )
+                alpha = op[i] * np.exp(-q)
+                assert (alpha < 1.0 / 255.0).all()
