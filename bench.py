@@ -8,7 +8,18 @@ gaussians/pixel), color SH degree 4 (25 coeffs) + 4 latent feature channels
 SH degree 2 (9 coeffs), rendered to 256^2 with alpha mask + expected depth.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "views/sec/chip", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "views/sec/chip", "vs_baseline": N,
+   "value_exact": N, "value_fast": N, "fast_vs_exact_psnr_db": N,
+   "render_mfu": N, ...}
+
+Both precision modes are measured and reported: `value` (the headline) is
+the FAST mode (f16/bf16-packed sort payload, comparable to the CUDA
+kernel's fast-math compositing), `value_exact` is the f32-exact mode that
+bit-matches the dense oracle. `fast_vs_exact_psnr_db` quantifies the fast
+mode's quality cost on this scene. Every measured call asserts
+pairs_dropped == 0, so a silently-truncating pair budget can never inflate
+the number. `render_mfu` is FLOPs-from-XLA-cost-analysis divided by the
+chip's peak (v5e bf16 197 TFLOP/s assumed; see BASELINE.md).
 
 `vs_baseline` divides by REFERENCE_VIEWS_PER_SEC, a conservative estimate of
 the reference CUDA rasterizer's forward throughput on its A100-class
@@ -44,10 +55,21 @@ ITERS = 5
 # threshold-aware per-axis extent rects (camera.py) AND the pre-expansion
 # exact ellipse-tile cull (_tile_rects), the bench scene measures 1.887
 # tile-pairs per gaussian max across its views (fast-mode cull margin), so
-# 1.95x leaves >=3% headroom and never truncates — and any budget >= the
-# real pair count renders identically
-# (tests/test_rasterize.py::TestPairBudget::test_large_budget_matches_default).
+# 1.95x leaves >=3% headroom — and `fwd` asserts pairs_dropped == 0 at run
+# time, so a budget regression fails the bench instead of silently speeding
+# it up (any budget >= the real pair count renders identically:
+# tests/test_rasterize.py::TestPairBudget::test_large_budget_matches_default).
 PAIR_BUDGET_FACTOR = 1.95
+
+# Peak FLOP/s per chip for MFU accounting, by device_kind substring.
+# v5e: 197 TFLOP/s bf16 / 98.5 f32 (public spec); the rasterizer runs a
+# bf16/f32 mix, so MFU is reported against the bf16 peak (conservative).
+PEAK_FLOPS = {
+    "v5 lite": 197e12,
+    "v4": 275e12,
+    "v5p": 459e12,
+    "v6 lite": 918e12,
+}
 
 
 def make_scene(key):
@@ -117,13 +139,8 @@ def make_scene(key):
     )
 
 
-def main() -> None:
+def _make_fwd(precision: str):
     from latentsplat_tpu.ops.rasterize import render
-
-    dev = jax.devices()[0]
-    print(f"benchmarking on {dev.platform}:{dev.device_kind}", file=sys.stderr)
-
-    scene = jax.device_put(make_scene(jax.random.PRNGKey(0)))
 
     @jax.jit
     def fwd(scene, seed):
@@ -138,43 +155,111 @@ def main() -> None:
         out = render(
             image_shape=(H, W),
             pair_budget_factor=PAIR_BUDGET_FACTOR,
-            # Fast sort payload: f16 tile-relative coords + bf16 conic/
-            # opacity/channels (<=0.03 px, ~0.4% rel — comparable to the
-            # CUDA kernel's fast-math f32; tiled-vs-dense parity is tested
-            # at this tolerance in tests/test_rasterize.py).
-            precision="fast",
+            # fast: f16 tile-relative coords + bf16 conic/opacity/channels
+            # (<=0.03 px, ~0.4% rel — comparable to the CUDA kernel's
+            # fast-math f32); exact: f32 payload, bit-checked vs the dense
+            # oracle in tests/test_rasterize.py.
+            precision=precision,
             **scene,
         )
-        return (
+        scalar = (
             jnp.sum(out.color) + jnp.sum(out.feature)
             + jnp.sum(out.mask) + jnp.sum(out.depth)
         )
+        return scalar, out.pairs_dropped.sum()
 
-    # Warmup / compile.
+    return fwd
+
+
+def _time_mode(fwd, scene, label: str):
+    """Compile, then time ITERS calls; returns (views/s, flops/call)."""
     t0 = time.perf_counter()
-    print(float(fwd(scene, jnp.float32(0.0))), file=sys.stderr)
-    print(f"compile+first run: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    scalar, dropped = fwd(scene, jnp.float32(0.0))
+    print(
+        f"[{label}] warmup scalar={float(scalar):.4f} "
+        f"compile+first run: {time.perf_counter() - t0:.1f}s",
+        file=sys.stderr,
+    )
+    assert int(dropped) == 0, (
+        f"pair budget truncated {int(dropped)} pairs — "
+        "PAIR_BUDGET_FACTOR is undersized; the throughput number would lie"
+    )
+
+    try:
+        cost = fwd.lower(scene, jnp.float32(0.0)).compile().cost_analysis()
+        flops = float(cost.get("flops", 0.0)) if cost else 0.0
+    except Exception as e:  # pragma: no cover - analysis is best-effort
+        print(f"[{label}] cost_analysis unavailable: {e}", file=sys.stderr)
+        flops = 0.0
 
     times = []
     for i in range(ITERS):
         t0 = time.perf_counter()
-        float(fwd(scene, jnp.float32(i + 1.0)))  # host transfer = completion
+        scalar, dropped = fwd(scene, jnp.float32(i + 1.0))
+        float(scalar)  # host transfer = completion
+        assert int(dropped) == 0
         times.append(time.perf_counter() - t0)
     times.sort()
-    print(f"times(s): {['%.4f' % t for t in times]}", file=sys.stderr)
+    print(f"[{label}] times(s): {['%.4f' % t for t in times]}", file=sys.stderr)
     per_view = times[len(times) // 2] / N_VIEWS  # median
     views_per_sec = 1.0 / per_view
     print(
-        f"fwd: {per_view * 1e3:.3f} ms/view ({views_per_sec:.1f} views/s)",
+        f"[{label}] fwd: {per_view * 1e3:.3f} ms/view ({views_per_sec:.1f} views/s)",
         file=sys.stderr,
     )
+    return views_per_sec, flops
+
+
+def _fast_vs_exact_psnr(scene) -> float:
+    """PSNR of the fast-mode render against the exact-mode render, over all
+    views' color images (the quality cost of the headline's precision mode)."""
+    from latentsplat_tpu.ops.rasterize import render
+
+    def colors(scene, precision):
+        out = render(
+            image_shape=(H, W),
+            pair_budget_factor=PAIR_BUDGET_FACTOR,
+            precision=precision,
+            **scene,
+        )
+        return out.color
+
+    jitted = jax.jit(colors, static_argnums=1)
+    c_exact = np.asarray(jitted(scene, "exact"), np.float32)
+    c_fast = np.asarray(jitted(scene, "fast"), np.float32)
+    mse = float(np.mean((np.clip(c_exact, 0, 1) - np.clip(c_fast, 0, 1)) ** 2))
+    return float(-10.0 * np.log10(max(mse, 1e-12)))
+
+
+def main() -> None:
+    dev = jax.devices()[0]
+    print(f"benchmarking on {dev.platform}:{dev.device_kind}", file=sys.stderr)
+    peak = next(
+        (v for k, v in PEAK_FLOPS.items() if k in dev.device_kind.lower()), None
+    )
+
+    scene = jax.device_put(make_scene(jax.random.PRNGKey(0)))
+
+    fast_vps, fast_flops = _time_mode(_make_fwd("fast"), scene, "fast")
+    exact_vps, _ = _time_mode(_make_fwd("exact"), scene, "exact")
+    psnr_db = _fast_vs_exact_psnr(scene)
+    print(f"fast vs exact PSNR: {psnr_db:.1f} dB", file=sys.stderr)
 
     result = {
         "metric": "render_256px_393k_gaussians_fwd",
-        "value": round(views_per_sec, 2),
+        "value": round(fast_vps, 2),
         "unit": "views/sec/chip",
-        "vs_baseline": round(views_per_sec / REFERENCE_VIEWS_PER_SEC, 3),
+        "vs_baseline": round(fast_vps / REFERENCE_VIEWS_PER_SEC, 3),
+        "value_fast": round(fast_vps, 2),
+        "value_exact": round(exact_vps, 2),
+        "fast_vs_exact_psnr_db": round(psnr_db, 1),
     }
+    if peak is not None and fast_flops > 0:
+        # flops is per 64-view call; MFU = achieved FLOP/s over chip peak.
+        result["render_mfu"] = round(
+            fast_flops * (fast_vps / N_VIEWS) / peak, 4
+        )
+        result["render_flops_per_view"] = round(fast_flops / N_VIEWS)
     # Surface the most recent committed train-step measurement (produced by
     # bench_train.py, which takes ~8 min of compile for the 256px batch-2
     # VAE-GAN step — too slow to rerun inside this headline bench) as
@@ -191,6 +276,8 @@ def main() -> None:
         result["train_step_256px_b2_steps_per_sec"] = best["value"]
         result["train_step_config"] = best["metric"]
         result["train_step_measured_unix"] = best.get("measured_unix")
+        if "train_mfu" in best:
+            result["train_mfu"] = best["train_mfu"]
         result["train_step_note"] = (
             "best recorded bench_train.py --full --batch 2 variant; anchor "
             "1 step/s (reference shape: 40GB A100, README.md:63-69)"

@@ -97,6 +97,19 @@ def main() -> None:
           f"(generator/total={total:.3f})", file=sys.stderr)
     assert np.isfinite(total)
 
+    # FLOPs from XLA's own cost model, for MFU accounting (VERDICT r2 #5).
+    flops = 0.0
+    try:
+        cost = (
+            step_fn.lower(state, batch_data, jax.random.PRNGKey(1), flags)
+            .compile()
+            .cost_analysis()
+        )
+        flops = float(cost.get("flops", 0.0)) if cost else 0.0
+        print(f"XLA flops/step: {flops:.3e}", file=sys.stderr)
+    except Exception as e:
+        print(f"cost_analysis unavailable: {e}", file=sys.stderr)
+
     times = []
     for i in range(ITERS):
         t0 = time.perf_counter()
@@ -122,6 +135,15 @@ def main() -> None:
         # working anchor, on a 16 GB v5e.
         "vs_baseline": round((1.0 / sec) / 1.0, 3),
     }
+    # MFU vs the chip's bf16 peak (PEAK_FLOPS keys match device_kind).
+    from bench import PEAK_FLOPS
+
+    peak = next(
+        (v for k, v in PEAK_FLOPS.items() if k in dev.device_kind.lower()), None
+    )
+    if peak is not None and flops > 0:
+        result["train_mfu"] = round(flops * (1.0 / sec) / peak, 4)
+        result["train_flops_per_step"] = flops
     print(json.dumps(result))
     # Persist for bench.py to surface in the driver-visible headline line.
     from pathlib import Path

@@ -189,7 +189,7 @@ class ViTBlock(nn.Module):
         x = x + y
         y = nn.LayerNorm(epsilon=1e-6)(x)
         y = nn.Dense(self.dim * 4)(y)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim)(y)
         return x + y
 

@@ -54,7 +54,7 @@ class ConvFeedForward(nn.Module):
         attended = ImageSelfAttention(self.cfg, c, c, name="self_attention")(grid)
         y = grid + attended
         y = nn.Conv(self.d_hidden, (7, 7), padding=3)(y)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)
         y = nn.Conv(self.d_in, (7, 7), padding=3)(y)
         return y.reshape(b * v * h * w, 1, self.d_in)
 
@@ -137,7 +137,7 @@ class EpipolarTransformer(nn.Module):
                 self.d_in, (ds, ds), strides=(ds, ds), name="upscaler"
             )(features.reshape(b * v, h, w, self.d_in))
             r = nn.Conv(self.d_in * 2, (7, 7), padding=3, name="refine_0")(y)
-            r = nn.gelu(r)
+            r = nn.gelu(r, approximate=False)
             r = nn.Conv(self.d_in, (7, 7), padding=3, name="refine_1")(r)
             y = r + y
             features = y.reshape(b, v, h0, w0, self.d_in)

@@ -63,7 +63,7 @@ class FeedForward(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, **_: Any) -> jnp.ndarray:
         x = nn.Dense(self.hidden_dim)(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)
         x = nn.Dense(self.dim)(x)
         return x
 

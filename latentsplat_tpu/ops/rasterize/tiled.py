@@ -321,9 +321,10 @@ def _forward(payload, static, want_residuals: bool):
     # the (s+1)-th set bit of the survivor mask, then to the rect's
     # (row, col). Integer div/mod by the DYNAMIC nx_e lowers to a long
     # emulation sequence per element on TPU; exact float math replaces it:
-    # pos < cap <= 15, and floor((a + 0.5) / b) == a // b exactly for small
-    # non-negative ints (the +0.5 never crosses an integer boundary and f32
-    # rounding error is far below the 0.5/15 margin). Unpainted tail
+    # pos < cap, where _tile_rects asserts cap <= 24 (fast mode further
+    # asserts cap <= 15), and floor((a + 0.5) / b) == a // b exactly for
+    # small non-negative ints (the +0.5 never crosses an integer boundary
+    # and f32 rounding error is far below the 0.5/24 margin). Unpainted tail
     # columns hold zeros (start=0, nx=1, mask=0) -> garbage tiles; clamp so
     # the int32 key math can't overflow, then mask via `valid`.
     slot_c = jnp.clip(slot, 0, cap)
@@ -693,13 +694,19 @@ def count_pair_overflow(
     image_shape: tuple[int, int],
     max_tiles_per_gaussian: int = DEFAULT_MAX_TILES_PER_GAUSSIAN,
     pair_budget_factor: float = DEFAULT_PAIR_BUDGET_FACTOR,
-    precision: str = "exact",
+    *,
+    precision: str,
 ) -> jnp.ndarray:
     """Number of tile pairs silently dropped by the static pair budget.
 
     Truncation drops the highest-indexed gaussians' pairs (a quiet quality
     cliff); callers should surface this counter in logs so real runs can
     detect an undersized `pair_budget_factor`.
+
+    `precision` MUST match the `composite_tiled` call being counted for:
+    fast mode culls with a wider margin (keeps more pairs), so exact-margin
+    counts UNDER-report fast-mode overflow — the exact failure this counter
+    exists to surface. Keyword-required with no default for that reason.
     """
     h, w = image_shape
     tiles_x, tiles_y = w // TILE, h // TILE

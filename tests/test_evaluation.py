@@ -102,6 +102,75 @@ def test_ssim_matches_skimage_algorithm():
         np.testing.assert_allclose(ours[i], want, atol=1e-5)
 
 
+def test_ssim_analytic_closed_form_fixtures():
+    """SSIM fixtures derived by hand from the formula, with ZERO shared code
+    (no convolutions anywhere in the expected-value computation) — an oracle
+    independent of both compute_ssim and the scipy replica above. Real
+    scikit-image is absent from this environment, so these closed-form cases
+    stand in for vendored skimage fixtures; they pin the exact same
+    semantics (skimage structural_similarity, win_size=11,
+    gaussian_weights=True, use_sample_covariance default True, data_range=1,
+    valid-window crop):
+
+    1. Constant images x=a, y=b: every window has means (a, b) and zero
+       (co)variances, so SSIM = (2ab + C1) / (a^2 + b^2 + C1) exactly.
+    2. y = s*x + t with x a linear ramp: filtering is linear and every
+       VALID window is interior, so per-window means are the ramp values
+       themselves, var_y = s^2 var_x, cov = s var_x, and var_x is the
+       closed-form weighted variance of the truncated gaussian kernel:
+       var_x = (alpha^2 + beta^2) * sum_k w_k k^2 for ramp
+       x[i,j] = alpha*i + beta*j + gamma. The mean over windows is then a
+       plain numpy average of a pointwise rational function of the ramp.
+    """
+    c1, c2 = 0.01**2, 0.03**2
+    cov_norm = 121.0 / 120.0  # NP/(NP-1), NP = 11^2 (sample covariance)
+
+    # -- Case 1: constants (three (a, b) pairs, one per channel) --
+    pairs = [(0.25, 0.75), (0.1, 0.1), (0.0, 1.0)]
+    h = w = 32
+    gt = np.stack([np.full((h, w), a, np.float32) for a, _ in pairs], axis=-1)
+    pr = np.stack([np.full((h, w), b, np.float32) for _, b in pairs], axis=-1)
+    want = np.mean(
+        [(2 * a * b + c1) / (a * a + b * b + c1) for a, b in pairs]
+    )
+    # atol 1e-4: f32 kernel normalization (sum = 1 +- 1e-7) leaks ~a^2*1e-7
+    # into the zero variances, which sit next to C2 = 9e-4 in the structure
+    # ratio. The semantics this fixture pins (crop, win, channel averaging,
+    # cov_norm) all move the value by >= 1e-3 when wrong.
+    got = float(np.asarray(compute_ssim(jnp.asarray(gt), jnp.asarray(pr))))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+    # -- Case 2: affine map of a linear ramp --
+    # Truncated gaussian weights (sigma=1.5, radius=5), derived here from
+    # the definition only (11 scalar terms, no filtering code).
+    ks = np.arange(-5, 6, dtype=np.float64)
+    wk = np.exp(-0.5 * (ks / 1.5) ** 2)
+    wk /= wk.sum()
+    kernel_var = float((wk * ks**2).sum())  # ~2.2434
+
+    # Slope large enough that the window variance (~(alpha^2+beta^2)*2.24)
+    # dominates f32 cancellation noise in uxx - ux^2 (~1e-7).
+    alpha, beta, gamma = 0.02, -0.015, 0.4
+    s_aff, t_aff = 0.9, 0.05
+    ii, jj = np.mgrid[0:h, 0:w].astype(np.float64)
+    x = alpha * ii + beta * jj + gamma
+    gt2 = x.astype(np.float32)[..., None]
+    pr2 = (s_aff * x + t_aff).astype(np.float32)[..., None]
+
+    # Window centers of VALID filtering: i, j in [5, size-6].
+    ux = x[5 : h - 5, 5 : w - 5]
+    uy = s_aff * ux + t_aff
+    vx = cov_norm * (alpha**2 + beta**2) * kernel_var
+    vy = (s_aff**2) * vx
+    vxy = s_aff * vx
+    s_map = ((2 * ux * uy + c1) * (2 * vxy + c2)) / (
+        (ux**2 + uy**2 + c1) * (vx + vy + c2)
+    )
+    want2 = float(s_map.mean())
+    got2 = float(np.asarray(compute_ssim(jnp.asarray(gt2), jnp.asarray(pr2))))
+    np.testing.assert_allclose(got2, want2, atol=1e-4)
+
+
 def test_ssim_structured_image_parity():
     """Same parity on a smooth structured (non-noise) pair, where local
     statistics behave very differently from white noise."""

@@ -135,7 +135,7 @@ def test_step_tracker_live_in_workers():
     )
     tracker.set_step(42)
     batch = next(loader)
-    assert int(batch["step"][0]) == 42
+    assert int(np.asarray(batch["step"]).ravel()[0]) == 42
     loader.close()
 
 

@@ -347,7 +347,11 @@ class TestPairOverflowCounter:
         n = 64
         means, covs, ops, channels = make_gaussians(jax.random.PRNGKey(26), n)
         sg = project(means, covs, ops, channels)
-        assert int(count_pair_overflow(sg, (H, W), pair_budget_factor=9.0)) == 0
+        assert int(
+            count_pair_overflow(
+                sg, (H, W), pair_budget_factor=9.0, precision="exact"
+            )
+        ) == 0
 
     def test_counts_dropped_pairs(self):
         import math
@@ -371,7 +375,11 @@ class TestPairOverflowCounter:
                   // quantum) * quantum
         want = max(total - budget, 0)
         assert want > 0, "fixture must actually overflow"
-        got = int(count_pair_overflow(sg, (H, W), pair_budget_factor=factor))
+        got = int(
+            count_pair_overflow(
+                sg, (H, W), pair_budget_factor=factor, precision="exact"
+            )
+        )
         assert got == want
 
     def test_render_surfaces_counter(self):
@@ -537,6 +545,21 @@ class TestTileRectMask:
         mean2d = np.asarray(sg.mean2d)
         conic = np.asarray(sg.conic)
         op = np.asarray(sg.opacity)
+        # Reconstruct the rect's row count (not returned by _tile_rects)
+        # from the same extent formula, so the culled-slot loop below only
+        # visits slots that were genuinely inside the rect: slots past
+        # nx*ny are rect-truncated (never ellipse-culled) and the
+        # sub-threshold assertion does not apply to them.
+        ext = np.asarray(sg.extent) if sg.extent is not None else np.stack(
+            [np.asarray(sg.radius)] * 2, axis=-1
+        )
+        ty0 = np.clip(
+            np.floor((mean2d[:, 1] - ext[:, 1]) / TILE), 0, tiles_y - 1
+        ).astype(np.int64)
+        ty1 = np.clip(
+            np.floor((mean2d[:, 1] + ext[:, 1]) / TILE), 0, tiles_y - 1
+        ).astype(np.int64)
+        ny = ty1 - ty0 + 1
 
         assert (counts >= 1).all()
         popcnt = np.array([bin(int(m)).count("1") for m in mask])
@@ -556,13 +579,12 @@ class TestTileRectMask:
                 # Every surviving slot lies inside the clamped rect.
                 assert col < nx[i]
             # Culled rect slots: per-pixel alpha strictly below 1/255.
-            for s in range(min(int(nx[i]) * cap, cap)):
+            for s in range(min(int(nx[i] * ny[i]), cap)):
                 if (mask[i] >> s) & 1:
                     continue
                 row, col = s // nx[i], s % nx[i]
                 tile = base[i] + row * tiles_x + col
-                if tile >= num_tiles or col >= nx[i]:
-                    continue
+                assert tile < num_tiles
                 ty, tx = tile // tiles_x, tile % tiles_x
                 px, py = np.meshgrid(
                     tx * TILE + np.arange(TILE), ty * TILE + np.arange(TILE)
