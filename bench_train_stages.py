@@ -37,16 +37,29 @@ SIZE = 256
 BATCH = 2
 
 
+def _scalarize(fn):
+    """Reduce fn's (gradient-tree) output to ONE scalar inside jit.
+
+    Fetching the raw output to observe completion would pull the whole
+    gradient tree through the axon tunnel (~400 MB for full-param grads —
+    tens of seconds of pure transfer that an earlier version of this bench
+    mis-attributed to compute). Summing every leaf on-device keeps the
+    full backward in the compiled graph while only 4 bytes cross the wire.
+    """
+
+    def wrapped(*args):
+        out = fn(*args)
+        return _sum_tree(out)
+
+    return jax.jit(wrapped)
+
+
 def _time(fn, *args):
-    out = fn(*args)
-    jax.tree.map(
-        lambda x: np.asarray(jax.device_get(x)).ravel()[:1], out
-    )  # force completion
+    float(fn(*args))  # compile + force completion (scalar host fetch)
     times = []
     for _ in range(ITERS):
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.tree.map(lambda x: np.asarray(jax.device_get(x)).ravel()[:1], out)
+        float(fn(*args))
         times.append(time.perf_counter() - t0)
     times.sort()
     return times[len(times) // 2]
@@ -109,7 +122,7 @@ def main() -> None:
         )
 
     if only in (None, "encoder"):
-        fn = jax.jit(jax.grad(encode))
+        fn = _scalarize(jax.grad(encode))
         report("encoder_fwd_bwd", _time(fn, params_gen))
 
     if only in (None, "render"):
@@ -147,9 +160,9 @@ def main() -> None:
         gs = gaussians
         args = (gs.means, gs.covariances, gs.opacities,
                 gs.color_harmonics, gs.feature_harmonics)
-        fn_f = jax.jit(render_loss)
+        fn_f = jax.jit(render_loss)  # already scalar-valued
         report("render_fwd", _time(fn_f, *args))
-        fn = jax.jit(jax.grad(render_loss, argnums=(0, 1, 2, 3, 4)))
+        fn = _scalarize(jax.grad(render_loss, argnums=(0, 1, 2, 3, 4)))
         report("render_fwd_bwd", _time(fn, *args))
 
     if only in (None, "vae"):
@@ -170,7 +183,7 @@ def main() -> None:
             fn = _remat(fn, model.cfg)
             return jnp.sum(fn(zz))
 
-        fn = jax.jit(jax.grad(vae_loss, argnums=(0, 1)))
+        fn = _scalarize(jax.grad(vae_loss, argnums=(0, 1)))
         report("vae_decode_fwd_bwd", _time(fn, params_gen, z))
 
     if only in (None, "lpips"):
@@ -186,7 +199,7 @@ def main() -> None:
             fn = _remat(fn, model.cfg)
             return jnp.sum(fn(x, tgt))
 
-        fn = jax.jit(jax.grad(lpips_loss))
+        fn = _scalarize(jax.grad(lpips_loss))
         report("lpips_one_site_fwd_bwd", _time(fn, pred))
 
     if only in (None, "disc"):
@@ -205,8 +218,8 @@ def main() -> None:
             lr = model.discriminate(pd, reals)
             return jnp.mean(jax.nn.relu(1.0 + lf)) + jnp.mean(jax.nn.relu(1.0 - lr))
 
-        fn1 = jax.jit(jax.grad(gen_side))
-        fn2 = jax.jit(jax.grad(disc_side))
+        fn1 = _scalarize(jax.grad(gen_side))
+        fn2 = _scalarize(jax.grad(disc_side))
         report("disc_gen_side_fwd_bwd", _time(fn1, fakes))
         report("disc_update_side_fwd_bwd", _time(fn2, params_disc))
 

@@ -43,8 +43,12 @@ class ModelCfg:
     # "nothing" recomputes everything (minimum memory); "dots" saves
     # matmul AND convolution outputs so the backward recomputes only the
     # cheap elementwise chains — much less recompute FLOP for a memory
-    # increase that 128px shapes (and 256px batch 1) can afford.
-    remat_policy: Literal["nothing", "dots"] = "nothing"
+    # increase that 128px shapes (and 256px batch 1) can afford. Per-site
+    # form "vae:dots,lpips:dots" applies dots only to the named remat
+    # sites (encoder | vae | lpips): the conv-heavy VAE/LPIPS keep their
+    # outputs while the encoder (whose attention outputs OOM a 16 GB chip
+    # under a global dots at 256px batch 2) stays full-recompute.
+    remat_policy: str = "nothing"
     # bfloat16 compute for the heavy network submodules (encoder backbone,
     # VAE, LPIPS, discriminator): parameters stay f32 (master copies, Adam
     # state, updates), activations and matmuls ride bf16 — native MXU rate

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
+from ..evaluation.metrics import compute_psnr
 from ..loss.losses import LossGroup, adaptive_gan_weight
 from ..model.latentsplat import LatentSplat
 from ..model.types import GroundTruth, Prediction
@@ -196,9 +197,21 @@ def _dots_and_convs_saveable(prim, *_, **__) -> bool:
     return getattr(prim, "name", "") in ("dot_general", "conv_general_dilated")
 
 
-def _remat(fn, cfg):
-    """jax.checkpoint with the configured save policy (cfg.remat_policy)."""
-    if cfg.remat_policy == "dots":
+def _remat(fn, cfg, site: str = ""):
+    """jax.checkpoint with the configured save policy (cfg.remat_policy).
+
+    The policy may be global ("nothing" | "dots") or per-site:
+    a comma-list like "vae:dots,lpips:dots" applies dots-and-convs only to
+    the named sites (sites: "encoder", "vae", "lpips") and full recompute
+    elsewhere. Motivation (measured, v5e 256px batch 2): a global "dots"
+    pins ~2 GB of f32 epipolar-attention to_kv outputs per layer and OOMs
+    a 16 GB chip, while the conv-heavy VAE/LPIPS sites are exactly where
+    saving outputs cuts real recompute FLOPs."""
+    policy = cfg.remat_policy
+    dots = policy == "dots" or (
+        site != "" and f"{site}:dots" in str(policy).split(",")
+    )
+    if dots:
         return jax.checkpoint(fn, policy=_dots_and_convs_saveable)
     return jax.checkpoint(fn)
 
@@ -331,7 +344,7 @@ def generator_forward(
             # (jax.checkpoint): DINO + epipolar transformer activations
             # dominate HBM at 256px (README.md:63-67's 40 GB footprint).
             # Latent features (encode_latents) ride as a checkpointed input.
-            encode = _remat(encode, cfg)
+            encode = _remat(encode, cfg, site="encoder")
         gaussians = encode(
             params_gen,
             batch["context"],
@@ -386,7 +399,7 @@ def generator_forward(
                     skip_z = None
                 decode = ae_decode
                 if cfg.remat:
-                    decode = _remat(ae_decode, cfg)
+                    decode = _remat(ae_decode, cfg, site="vae")
                 preds["target_combined"] = preds["target_combined"].replace(
                     image=decode(params_gen, z, skip_z)
                 )
@@ -416,6 +429,22 @@ def generator_forward(
         logits_fake = discriminate(params_disc, preds[name].image)
         preds[name] = preds[name].replace(logits_fake=logits_fake)
 
+    # Train PSNR per supervision site (ref: model_wrapper.py:399-409; the
+    # reference names the render site "target_render" in its logs).
+    psnr_logs: Dict[str, jnp.ndarray] = {}
+    for name, log_name in (
+        ("context", "context"),
+        ("target_autoencoder", "target_autoencoder"),
+        ("target_render_image", "target_render"),
+        ("target_combined", "target_combined"),
+    ):
+        if preds[name].image is not None and (
+            gts[name] is not None and gts[name].image is not None
+        ):
+            psnr_logs[f"train/{log_name}/psnr"] = compute_psnr(
+                gts[name].image, preds[name].image
+            ).mean()
+
     # Losses.
     if cfg.compute_dtype == "bfloat16":
         # VGG weights must be cast too (they ride a closure, not the args).
@@ -426,9 +455,9 @@ def generator_forward(
         lpips_fn = model.lpips_fn(lpips_params)
     if cfg.remat:
         # VGG activations at 256px are ~GBs across the two LPIPS sites.
-        lpips_fn = _remat(lpips_fn, cfg)
+        lpips_fn = _remat(lpips_fn, cfg, site="lpips")
     nll_total = jnp.asarray(0.0)
-    logs: Dict[str, jnp.ndarray] = {}
+    logs: Dict[str, jnp.ndarray] = dict(psnr_logs)
     if rasterizer_dropped is not None:
         logs["rasterizer/pairs_dropped"] = rasterizer_dropped.astype(jnp.float32)
     group_nll = {}

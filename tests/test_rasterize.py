@@ -440,6 +440,70 @@ class TestWideRankKeys:
         np.testing.assert_allclose(np.asarray(t_mask), np.asarray(d_mask), atol=5e-4)
 
 
+class TestScaleEnvelope:
+    """Pin the shape ceilings beyond the flagship 256px/2-view point
+    (VERDICT r2 weak #5): 512px output (1024 tiles — exercises the
+    tiles << RANK_BITS int32 key packing near its 2^12-tile limit) and a
+    huge near splat against the max_tiles_per_gaussian rect clamp."""
+
+    def test_512px_matches_dense(self):
+        h = w = 512  # 32 x 32 = 1024 tiles
+        means, covs, ops, channels = make_gaussians(
+            jax.random.PRNGKey(40), 64, n_channels=2
+        )
+        # Flagship gaussians scale with pixel size; shrink the 32px-sized
+        # fixtures 10x per axis so footprints stay a few tiles at 512px
+        # (the rect cap is exercised separately below).
+        covs = covs * 1e-2
+        sg = project_gaussians_to_screen(
+            means, covs, ops, channels, EXTRINSICS, INTRINSICS, (h, w)
+        )
+        bg = jnp.asarray([0.1, 0.3])
+        d_img, d_mask, d_depth = composite_dense(sg, (h, w), bg)
+        t_img, t_mask, t_depth = composite_tiled(
+            sg, (h, w), bg, pack_channels=False
+        )
+        np.testing.assert_allclose(np.asarray(t_img), np.asarray(d_img), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(t_mask), np.asarray(d_mask), atol=2e-4)
+        np.testing.assert_allclose(
+            np.asarray(t_depth), np.asarray(d_depth), atol=2e-3
+        )
+
+    def test_huge_splat_cap_widening_matches_dense(self):
+        """A near, wide gaussian whose tile rect exceeds the default
+        9-slot cap: the default SILENTLY truncates its rect (documented
+        clamp), while max_tiles_per_gaussian=24 must recover the dense
+        oracle exactly."""
+        h = w = 128  # 8 x 8 tiles, so a rect CAN exceed the 9-slot cap
+        means = jnp.asarray([[0.0, 0.0, 2.5], [0.3, -0.2, 4.0]])
+        covs = jnp.stack([jnp.eye(3) * 0.03, jnp.eye(3) * 0.005])
+        ops = jnp.asarray([0.9, 0.8])
+        channels = jnp.asarray([[1.0, 0.2], [0.1, 0.9]])
+        sg = project_gaussians_to_screen(
+            means, covs, ops, channels, EXTRINSICS, INTRINSICS, (h, w)
+        )
+        # The wide splat must actually exceed the default cap for the test
+        # to bite.
+        from latentsplat_tpu.ops.rasterize.tiled import _tile_rects
+
+        counts24, *_ = _tile_rects(sg, w // 16, h // 16, 24)
+        assert int(counts24[0]) > 9, "fixture no longer exceeds the cap"
+        bg = jnp.zeros((2,))
+        d_img, d_mask, d_depth = composite_dense(sg, (h, w), bg)
+        t_img, t_mask, _ = composite_tiled(
+            sg, (h, w), bg, max_tiles_per_gaussian=24, pack_channels=False,
+            pair_budget_factor=24.0,
+        )
+        np.testing.assert_allclose(np.asarray(t_img), np.asarray(d_img), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(t_mask), np.asarray(d_mask), atol=2e-4)
+        # The default cap drops the wide splat's outer tiles: the result
+        # must still be finite (graceful truncation), just not equal.
+        c_img, _, _ = composite_tiled(
+            sg, (h, w), bg, pack_channels=False, pair_budget_factor=24.0
+        )
+        assert np.isfinite(np.asarray(c_img)).all()
+
+
 class TestPairBudget:
     def test_small_budget_truncates_gracefully(self):
         """A pair budget below the real pair count must still produce

@@ -229,6 +229,50 @@ class TestRemat(TestFullVaeGan):
     test_step_gating_masks_losses = None
 
 
+class TestConvergence(TestFullVaeGan):
+    """Overfitting one batch under the FULL objective (render MSE, combined
+    L1+LPIPS, adaptive-weighted generator, hinge discriminator, KL — every
+    branch active from step 0) must raise the render PSNR. This is the CPU
+    companion of the on-chip bench_convergence.py artifact and the closest
+    thing to the reference's de-facto system test — training itself
+    (ref: src/model/model_wrapper.py:286-514)."""
+
+    def test_overfit_improves_render_psnr(self):
+        import functools
+
+        from latentsplat_tpu.config import GeneratorOptimizerCfg
+
+        # The reference's 2000-step warmup would keep the LR negligible
+        # over a 30-step run; compress it.
+        opt_cfg = OptimizerCfg(
+            generator=GeneratorOptimizerCfg(
+                warm_up_steps=5, warm_up_start_factor=0.5
+            ),
+            discriminator=DiscriminatorOptimizerCfg(),
+        )
+        model, losses, state, step_fn = build(
+            self.model_cfg, self.loss_cfgs, self.batch, opt_cfg
+        )
+        flags = make_step_flags(losses, 0)
+        assert flags.disc and flags.gen_gan, "GAN branches must be active"
+        jitted = jax.jit(functools.partial(step_fn, flags=flags))
+
+        psnrs = []
+        rng = jax.random.PRNGKey(21)
+        for i in range(30):
+            rng, sub = jax.random.split(rng)
+            state, logs = jitted(state, self.batch, sub)
+            psnrs.append(float(logs["train/target_render/psnr"]))
+        assert np.isfinite(psnrs).all()
+        # Smoothed (first-5 vs last-5 mean) PSNR must improve by >= 1 dB.
+        gain = np.mean(psnrs[-5:]) - np.mean(psnrs[:5])
+        assert gain >= 1.0, f"render PSNR gain {gain:.2f} dB < 1 dB: {psnrs}"
+
+    # Don't rerun the inherited tests.
+    test_full_step_runs_and_updates = None
+    test_step_gating_masks_losses = None
+
+
 class TestComputeDtype(TestFullVaeGan):
     """compute_dtype=bfloat16: heavy submodules run in bf16 with f32 master
     params; the step must stay finite, update the params, and land within
