@@ -124,7 +124,11 @@ def main() -> None:
     variant = (
         ("_fast" if fast else "")
         + ("_bf16" if bf16 else "")
-        + (f"_{remat_policy}" if remat_policy != "nothing" else "")
+        + (
+            "_" + remat_policy.replace(":", "-").replace(",", "+")
+            if remat_policy != "nothing"
+            else ""
+        )
     )
     result = {
         "metric": f"train_step_{size}px_batch{batch}_vae_gan" + variant,

@@ -54,8 +54,12 @@ class ModelCfg:
     # state, updates), activations and matmuls ride bf16 — native MXU rate
     # and half the HBM activation traffic. bf16 shares f32's exponent
     # range, so no loss scaling is needed. The rasterizer, sampling, and
-    # loss reductions stay f32.
-    compute_dtype: Literal["float32", "bfloat16"] = "float32"
+    # loss reductions stay f32. Besides the global "bfloat16", a per-site
+    # comma-list ("vae:bfloat16,disc:bfloat16"; sites: encoder, vae, lpips,
+    # disc) casts only the named submodules — the measured win on v5e: the
+    # f8 VAE is the step's FLOP peak and saturates the f32 MXU, while a
+    # global cast regressed (convert + remat-recompute overhead).
+    compute_dtype: str = "float32"
 
 
 @dataclass

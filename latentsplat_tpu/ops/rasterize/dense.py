@@ -76,7 +76,12 @@ def composite_dense(
         dx = px[None, :] - m[:, 0:1]  # (K, P)
         dy = py[None, :] - m[:, 1:2]
         power = -0.5 * (co[:, 0:1] * dx * dx + co[:, 2:3] * dy * dy) - co[:, 1:2] * dx * dy
-        alpha = jnp.minimum(ALPHA_CLAMP, op[:, None] * jnp.exp(power))
+        # min(power, 0): power > 0 rows are zeroed below, but a raw
+        # exp(power) = inf there would turn the AD backward's
+        # where-cotangent (0) into inf * 0 = NaN d_opacity — same guard as
+        # pallas_kernels._chunk_alpha (near-degenerate conics can reach
+        # power ~ +90 at far offsets).
+        alpha = jnp.minimum(ALPHA_CLAMP, op[:, None] * jnp.exp(jnp.minimum(power, 0.0)))
         alpha = jnp.where(power > 0.0, 0.0, alpha)
         alpha = jnp.where(alpha < ALPHA_THRESHOLD, 0.0, alpha)
         alpha = jnp.where(ra[:, None] > 0.0, alpha, 0.0)

@@ -222,7 +222,18 @@ def _chunk_alpha(attrs, px, py, chunk_offset, seg_start, seg_end):
     dx = px - x          # (CHUNK, PIX)
     dy = py - y
     power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-    exp_power = jnp.exp(power)
+    # Clamp the exponent at 0: every row with power > 0 has its alpha
+    # zeroed below, so the clamp never changes a live alpha — but WITHOUT
+    # it, a near-degenerate conic (bf16 rounding in fast mode, or fp error
+    # on near-singular covariances) can make the cross term dominate at
+    # far in-window offsets (|dx*dy| ~ 6400 at the 64 px tile-relative
+    # range), reaching power ~ +90 and exp(power) = inf. The forward
+    # survives (alpha is zeroed) but the backward's
+    # d_opacity = d_alpha * exp_power * mask becomes inf * 0 = NaN,
+    # silently poisoning every parameter upstream of the rasterizer on the
+    # first training step (caught by the on-chip convergence run,
+    # benchmarks/convergence_128px.json).
+    exp_power = jnp.exp(jnp.minimum(power, 0.0))
     alpha = jnp.minimum(ALPHA_CLAMP, op * exp_power)
     alpha = jnp.where(power > 0.0, 0.0, alpha)
     alpha = jnp.where(alpha < ALPHA_THRESHOLD, 0.0, alpha)

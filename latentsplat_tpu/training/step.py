@@ -200,18 +200,27 @@ def _dots_and_convs_saveable(prim, *_, **__) -> bool:
 def _remat(fn, cfg, site: str = ""):
     """jax.checkpoint with the configured save policy (cfg.remat_policy).
 
-    The policy may be global ("nothing" | "dots") or per-site:
-    a comma-list like "vae:dots,lpips:dots" applies dots-and-convs only to
-    the named sites (sites: "encoder", "vae", "lpips") and full recompute
-    elsewhere. Motivation (measured, v5e 256px batch 2): a global "dots"
-    pins ~2 GB of f32 epipolar-attention to_kv outputs per layer and OOMs
-    a 16 GB chip, while the conv-heavy VAE/LPIPS sites are exactly where
-    saving outputs cuts real recompute FLOPs."""
-    policy = cfg.remat_policy
-    dots = policy == "dots" or (
-        site != "" and f"{site}:dots" in str(policy).split(",")
-    )
-    if dots:
+    The policy may be global ("nothing" | "dots") or per-site: a comma-list
+    like "vae:off,lpips:dots" selects, for each named site ("encoder",
+    "vae", "lpips"), one of
+      full  — jax.checkpoint, recompute everything (the default)
+      dots  — jax.checkpoint saving matmul/conv outputs
+      off   — no checkpoint: keep all activations, zero recompute
+    Motivation (measured, v5e 256px batch 2): a global "dots" pins ~2 GB of
+    f32 epipolar-attention to_kv outputs per layer and OOMs a 16 GB chip —
+    the encoder must stay fully rematerialized — while the conv-heavy
+    VAE/LPIPS sites are small enough to skip remat entirely once the
+    encoder and per-view render buffers are checkpointed."""
+    policy = str(cfg.remat_policy)
+    mode = "dots" if policy == "dots" else "full"
+    if site:
+        for part in policy.split(","):
+            part = part.strip()
+            if part.startswith(f"{site}:"):
+                mode = part.split(":", 1)[1]
+    if mode == "off":
+        return fn
+    if mode == "dots":
         return jax.checkpoint(fn, policy=_dots_and_convs_saveable)
     return jax.checkpoint(fn)
 
@@ -225,13 +234,35 @@ def _cast_floats(tree, dtype):
     )
 
 
-def _mixed(fn, cfg):
-    """bf16 compute wrapper (cfg.compute_dtype): params + float inputs are
+def _mixed_site(cfg, site: str) -> bool:
+    """True when `site` should compute in bfloat16 under cfg.compute_dtype.
+
+    compute_dtype is either global ("float32" | "bfloat16") or per-site: a
+    comma-list like "vae:bfloat16,disc:bfloat16" (sites: "encoder", "vae",
+    "lpips", "disc") casting only the named submodules. Motivation
+    (measured, v5e 256px batch 2): the f8 VAE decode is the step's FLOP
+    peak (4.9e12 fwd) and runs at ~100% f32 MXU utilization — bf16 halves
+    its MXU time — while a global bf16 cast measured a net REGRESSION
+    (0.606 vs 0.71 steps/s: convert ops on every boundary + full-recompute
+    remat dominate)."""
+    policy = str(cfg.compute_dtype)
+    if policy == "bfloat16":
+        return True
+    if site:
+        for part in policy.split(","):
+            part = part.strip()
+            if part == f"{site}:bfloat16":
+                return True
+    return False
+
+
+def _mixed(fn, cfg, site: str = ""):
+    """bf16 compute wrapper (see _mixed_site): params + float inputs are
     cast to bfloat16 so every op inside `fn` computes at native MXU rate
     with half the activation bandwidth; outputs (and hence gradients of the
     f32 master params, via AD through the casts) return to f32. bf16 keeps
     f32's exponent range, so no loss scaling is required."""
-    if cfg.compute_dtype != "bfloat16":
+    if not _mixed_site(cfg, site):
         return fn
 
     def wrapped(*args, **kwargs):
@@ -262,9 +293,9 @@ def generator_forward(
 
     # bf16 compute for the heavy submodules (no-ops at float32). The
     # rasterizer, posterior sampling, and loss reductions stay f32.
-    ae_encode = _mixed(model.ae_encode, cfg)
-    ae_decode = _mixed(model.ae_decode, cfg)
-    discriminate = _mixed(model.discriminate, cfg)
+    ae_encode = _mixed(model.ae_encode, cfg, site="vae")
+    ae_decode = _mixed(model.ae_decode, cfg, site="vae")
+    discriminate = _mixed(model.discriminate, cfg, site="disc")
 
     preds = {name: Prediction() for name in GROUP_NAMES}
     target_image = batch["target"]["image"]
@@ -320,7 +351,7 @@ def generator_forward(
             )
 
     if flags.needs_render:
-        if cfg.compute_dtype == "bfloat16":
+        if _mixed_site(cfg, "encoder"):
             # Cast params + image/features only: camera geometry (extrinsics,
             # intrinsics, near/far) must stay f32 — epipolar sample positions
             # lose ~3 decimal digits in bf16, which visibly corrupts the
@@ -446,10 +477,12 @@ def generator_forward(
             ).mean()
 
     # Losses.
-    if cfg.compute_dtype == "bfloat16":
+    if _mixed_site(cfg, "lpips"):
         # VGG weights must be cast too (they ride a closure, not the args).
         lpips_fn = _mixed(
-            model.lpips_fn(_cast_floats(lpips_params, jnp.bfloat16)), cfg
+            model.lpips_fn(_cast_floats(lpips_params, jnp.bfloat16)),
+            cfg,
+            site="lpips",
         )
     else:
         lpips_fn = model.lpips_fn(lpips_params)
@@ -549,7 +582,7 @@ def make_train_step(
         params_disc = state.params_disc
         opt_disc_state = state.opt_disc
         if flags.disc:
-            discriminate = _mixed(model.discriminate, model.cfg)
+            discriminate = _mixed(model.discriminate, model.cfg, site="disc")
 
             def disc_loss_fn(p_disc):
                 total = jnp.asarray(0.0)

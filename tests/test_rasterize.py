@@ -504,6 +504,71 @@ class TestScaleEnvelope:
         assert np.isfinite(np.asarray(c_img)).all()
 
 
+class TestNonPdConicGradients:
+    """Regression: a near-degenerate conic (ca*cc ~ cb^2) evaluated at far
+    in-window offsets makes the quadratic's cross term dominate, so
+    `power` goes LARGE POSITIVE (> +88) on rows whose alpha the kernel
+    zeroes. The forward survives (power > 0 rows are masked) but the
+    backward's d_opacity = d_alpha * exp(power) * mask used to be
+    inf * 0 = NaN, silently poisoning every upstream parameter — this is
+    exactly what fast mode's bf16-rounded conics produced on step 1 of the
+    on-chip convergence run (benchmarks/convergence_128px.json: fast-mode
+    generator loss NaN while exact trained to 26 dB). exp must clamp its
+    exponent at 0 (exact for every live row, whose power <= 0 by
+    construction)."""
+
+    def _scene(self):
+        # Two splats in opposite corners of a 128px image: their pairs
+        # share one CHUNK-aligned window, so each tile evaluates the other
+        # splat's row at |dx|,|dy| ~ 100 px. The first conic is slightly
+        # non-PD along the diagonal (q(d,d) = -0.008 d^2 -> power ~ +100
+        # -> exp overflows f32), mimicking what bf16 conic rounding (or
+        # projection fp error on near-degenerate covariances) produces.
+        from latentsplat_tpu.ops.rasterize.types import ScreenGaussians
+
+        mean2d = jnp.asarray([[8.0, 8.0], [120.0, 120.0]])
+        conic = jnp.asarray([[2.0, -2.008, 2.0], [0.5, 0.0, 0.5]])
+        return ScreenGaussians(
+            mean2d=mean2d,
+            conic=conic,
+            depth=jnp.asarray([3.0, 4.0]),
+            radius=jnp.asarray([4.0, 4.0]),
+            opacity=jnp.asarray([0.9, 0.8]),
+            channels=jnp.asarray([[1.0, 0.3], [0.2, 0.7]]),
+            extent=jnp.asarray([[4.0, 4.0], [4.0, 4.0]]),
+        )
+
+    @pytest.mark.parametrize("precision", ["exact", "fast"])
+    def test_gradients_finite(self, precision):
+        sg = self._scene()
+        bg = jnp.zeros((2,))
+
+        def loss(op):
+            img, mask, _ = composite_tiled(
+                sg.replace(opacity=op), (128, 128), bg,
+                pack_channels=False, precision=precision,
+            )
+            return jnp.sum(img**2) + jnp.sum(mask)
+
+        g = np.asarray(jax.grad(loss)(sg.opacity))
+        assert np.isfinite(g).all(), f"{precision} d_opacity not finite: {g}"
+
+    def test_dense_gradients_finite(self):
+        # The dense oracle shares the inf * 0 pattern through jnp.where's
+        # AD (cotangent 0 on the zeroed branch times exp(inf)).
+        sg = self._scene()
+        bg = jnp.zeros((2,))
+
+        def loss(op):
+            img, mask, _ = composite_dense(
+                sg.replace(opacity=op), (128, 128), bg
+            )
+            return jnp.sum(img**2) + jnp.sum(mask)
+
+        g = np.asarray(jax.grad(loss)(sg.opacity))
+        assert np.isfinite(g).all(), f"dense d_opacity not finite: {g}"
+
+
 class TestPairBudget:
     def test_small_budget_truncates_gracefully(self):
         """A pair budget below the real pair count must still produce

@@ -207,7 +207,7 @@ class TestRemat(TestFullVaeGan):
         math: losses and updated params must match the nothing-saved policy
         (CPU arithmetic is deterministic, so exact equality is expected)."""
         results = []
-        for policy in ("nothing", "dots"):
+        for policy in ("nothing", "dots", "vae:off,lpips:off"):
             self.model_cfg.remat = True
             self.model_cfg.remat_policy = policy
             model, losses, state, step_fn = build(
@@ -218,11 +218,34 @@ class TestRemat(TestFullVaeGan):
                 state, self.batch, jax.random.PRNGKey(3), flags
             )
             results.append((float(logs["generator/total"]), new_state.params_gen))
-        assert results[0][0] == results[1][0]
+        assert all(r[0] == results[0][0] for r in results[1:])
         leaves0 = jax.tree_util.tree_leaves(results[0][1])
-        leaves1 = jax.tree_util.tree_leaves(results[1][1])
-        for a, b in zip(leaves0, leaves1):
-            assert jnp.allclose(a, b, atol=1e-6), "policy changed the update"
+        for _, params in results[1:]:
+            for a, b in zip(leaves0, jax.tree_util.tree_leaves(params)):
+                assert jnp.allclose(a, b, atol=1e-6), "policy changed the update"
+
+    def test_remat_policy_site_parsing(self):
+        """site:off returns the function unwrapped (zero recompute); site:dots
+        applies the dots-and-convs save policy; unnamed sites fall back to
+        full recompute."""
+        from latentsplat_tpu.training.step import _remat
+
+        class Cfg:
+            remat_policy = "vae:off,lpips:dots"
+
+        fn = lambda x: x * 2.0
+        assert _remat(fn, Cfg, site="vae") is fn           # off: unwrapped
+        assert _remat(fn, Cfg, site="lpips") is not fn     # dots: checkpointed
+        assert _remat(fn, Cfg, site="encoder") is not fn   # default: full
+        x = jnp.asarray(3.0)
+        for site in ("vae", "lpips", "encoder"):
+            assert float(jax.grad(_remat(fn, Cfg, site=site))(x)) == 2.0
+
+        class CfgGlobal:
+            remat_policy = "dots"
+
+        assert _remat(fn, CfgGlobal, site="vae") is not fn
+        assert float(jax.grad(_remat(fn, CfgGlobal, site="vae"))(x)) == 2.0
 
     # Don't rerun the inherited tests.
     test_full_step_runs_and_updates = None
