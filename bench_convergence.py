@@ -68,7 +68,9 @@ def overfit_batch(size: int, v_tgt: int = 4, scene_id: int = 3) -> dict:
     return {"context": views(ctx), "target": views(tgt)}
 
 
-def run_mode(size: int, steps: int, precision: str, log_every: int) -> dict:
+def run_mode(
+    size: int, steps: int, precision: str, log_every: int, seed: int = 0
+) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -105,7 +107,7 @@ def run_mode(size: int, steps: int, precision: str, log_every: int) -> dict:
     losses = {n: get_loss_group(n, getattr(cfg.loss, n)) for n in GROUP_NAMES}
 
     batch = overfit_batch(size)
-    params = model.init_params(jax.random.PRNGKey(0), batch)
+    params = model.init_params(jax.random.PRNGKey(seed), batch)
     opt_gen, opt_disc = build_optimizers(model, cfg.optimizer, 1)
     state = TrainState(
         params_gen=params["generator"],
@@ -133,7 +135,7 @@ def run_mode(size: int, steps: int, precision: str, log_every: int) -> dict:
     curve["step"] = []
 
     t0 = time.perf_counter()
-    rng = jax.random.PRNGKey(7)
+    rng = jax.random.PRNGKey(7 + 1000 * seed)
     for i in range(steps):
         rng, sub = jax.random.split(rng)
         state, logs = step_fn(state, batch, sub, flags)
@@ -194,16 +196,22 @@ def main() -> None:
     steps = arg("--steps", 600, int)
     precision = arg("--precision", "fast", str)
     log_every = arg("--log-every", 1, int)
+    seed = arg("--seed", 0, int)
+    tag = arg("--tag", "", str)
 
     import jax
 
     dev = jax.devices()[0]
-    modes = ["fast", "exact"] if precision == "both" else [precision]
-    results = [run_mode(size, steps, m, log_every) for m in modes]
+    if precision == "both":
+        modes = ["fast", "exact"]
+    else:
+        modes = precision.split(",")
+    results = [run_mode(size, steps, m, log_every, seed) for m in modes]
 
     out = {
         "metric": f"convergence_{size}px",
         "device": f"{dev.platform}:{dev.device_kind}",
+        "seed": seed,
         "measured_unix": int(time.time()),
         "objective": "full VAE-GAN (mse+lpips render, l1+lpips combined, "
         "adaptive-weighted generator, hinge discriminator, kl)",
@@ -233,7 +241,7 @@ def main() -> None:
 
     out_dir = Path(__file__).resolve().parent / "benchmarks"
     out_dir.mkdir(exist_ok=True)
-    path = out_dir / f"convergence_{size}px.json"
+    path = out_dir / f"convergence_{size}px{tag}.json"
     path.write_text(json.dumps(out, indent=1))
     print(f"wrote {path}", file=sys.stderr)
     print(

@@ -146,22 +146,18 @@ def render(
                     *composite_dense(sg, image_shape, bg_full),
                     jnp.zeros((), jnp.int32),
                 )
-            from .tiled import composite_tiled, count_pair_overflow
+            from .tiled import composite_tiled
 
-            dropped = count_pair_overflow(
-                sg, image_shape,
+            # with_dropped reuses the tile-rect counts composite_tiled
+            # already computes — a second count_pair_overflow pass here
+            # would re-run the whole ellipse-tile cull per view (~0.7
+            # ms/view at the flagship scale, the r02->r03 regression).
+            return composite_tiled(
+                sg, image_shape, bg_full,
                 max_tiles_per_gaussian=max_tiles_per_gaussian,
                 pair_budget_factor=pair_budget_factor,
                 precision=precision,
-            )
-            return (
-                *composite_tiled(
-                    sg, image_shape, bg_full,
-                    max_tiles_per_gaussian=max_tiles_per_gaussian,
-                    pair_budget_factor=pair_budget_factor,
-                    precision=precision,
-                ),
-                dropped,
+                with_dropped=True,
             )
 
         body = jax.checkpoint(render_one) if remat else render_one

@@ -87,7 +87,22 @@ def _cull_margin(precision: str) -> float:
     covers fp discrepancy vs the kernel's per-pixel alpha evaluation —
     wider in fast mode, where the kernel reads bf16-rounded conics
     (~0.8% rel on q)."""
-    return 6e-2 if precision == "fast" else 1e-3
+    return 6e-2 if precision in ("fast", "exact_wide_cull") else 1e-3
+
+
+# Diagnostic hybrid precisions (convergence-anomaly bisect, NOTES.md r4):
+# each takes the EXACT path everywhere except one isolated fast-mode knob,
+# so the knob responsible for a train-quality difference can be identified.
+#   exact_wide_cull — exact + fast's 6e-2 cull margin
+#   exact_tie_depth — exact + fast's depth ORDERING (ranks from the 19-bit
+#                     truncated depth code, ties broken gaussian-major)
+#   exact_bf16_mm   — exact + fast's bf16 compositor scan/channel matmuls
+DIAGNOSTIC_PRECISIONS = ("exact_wide_cull", "exact_tie_depth", "exact_bf16_mm")
+
+
+def _kernel_fast(precision: str) -> bool:
+    """Whether the Pallas compositor runs its matmuls with bf16 inputs."""
+    return precision in ("fast", "exact_bf16_mm")
 
 
 def _use_interpret() -> bool:
@@ -523,7 +538,7 @@ def _forward(payload, static, want_residuals: bool):
     out_tiles, done = composite_pairs_fwd(
         attrs_pairs, tile_starts,
         n_ch=n_ch, tiles_x=tiles_x, tiles_y=tiles_y,
-        interpret=interpret, fast=precision == "fast", coef=coef,
+        interpret=interpret, fast=_kernel_fast(precision), coef=coef,
     )
     if not want_residuals:
         return out_tiles, None
@@ -540,7 +555,7 @@ def _pair_composite_bwd(static, residuals, g_tiles):
     d_pairs = composite_pairs_bwd(
         attrs_pairs, tile_starts, done, g_tiles, t_final,
         n_ch=n_ch, tiles_x=tiles_x, tiles_y=tiles_y,
-        interpret=interpret, fast=precision == "fast",
+        interpret=interpret, fast=_kernel_fast(precision),
     )
     # Unsort: stable-sorting gradient rows keyed by the carried pair index
     # applies the inverse permutation (no gather); then the reduce_by_counts
@@ -730,11 +745,17 @@ def composite_tiled(
     pack_channels: bool = True,
     pair_budget_factor: float = DEFAULT_PAIR_BUDGET_FACTOR,
     precision: str = "exact",
-) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    with_dropped: bool = False,
+):
     """Composite one view's screen Gaussians with the tiled Pallas kernel.
 
     Returns (channels_img (C, H, W), mask (H, W), depth (H, W)) — the same
-    contract as `composite_dense`.
+    contract as `composite_dense` — plus, when `with_dropped=True`, the
+    number of tile pairs silently truncated by the static pair budget
+    (free: the per-gaussian counts already exist here; re-counting via
+    `count_pair_overflow` costs a full second `_tile_rects` cull pass per
+    view, ~0.7 ms/view at the flagship scale — the r02->r03 bench
+    regression).
 
     `pair_budget_factor` bounds the static pair-buffer size at
     `factor * G` (XLA needs static shapes where CUDA allocates the exact
@@ -779,6 +800,15 @@ def composite_tiled(
         rank = jnp.zeros((g,), jnp.int32)
     else:
         depth_key = jnp.where(alive, sg.depth, jnp.inf)
+        if precision == "exact_tie_depth":
+            # Diagnostic: reproduce fast mode's ordering exactly — rank by
+            # the 19-bit truncated depth code (10 mantissa bits), ties
+            # broken gaussian-major by the stable rank sort.
+            depth_key = jax.lax.bitcast_convert_type(
+                jax.lax.bitcast_convert_type(depth_key, jnp.int32)
+                & ~jnp.int32(0xFFF),
+                jnp.float32,
+            )
         rank = _depth_ranks(depth_key)
     counts, base, nx_safe, mask = _tile_rects(
         sg, tiles_x, tiles_y, cap, _cull_margin(precision)
@@ -812,4 +842,7 @@ def composite_tiled(
     t_final = out[c + 1]
     mask = 1.0 - t_final
     channels_img = channels_img + background[:, None, None] * t_final[None]
+    if with_dropped:
+        dropped = jnp.maximum(counts.sum() - pair_budget, 0)
+        return channels_img, mask, depth, dropped
     return channels_img, mask, depth
