@@ -422,11 +422,13 @@ def _image_self_attention(sd, prefix: str) -> dict:
 
 def _conv_feed_forward(sd, prefix: str) -> dict:
     """ConvFeedForward (epipolar_transformer.py:155-183): layers =
-    Sequential(Conv7x7, GELU, Conv7x7) + self_attention."""
+    Sequential(Conv7x7, GELU, Dropout, Conv7x7, Dropout) + self_attention.
+    The Dropouts put the second conv at sequential index 3 (caught by the
+    full-encoder oracle test; index 2 would KeyError on real checkpoints)."""
     return {
         "self_attention": _image_self_attention(sd, f"{prefix}.self_attention"),
         "Conv_0": _conv(sd, f"{prefix}.layers.0"),
-        "Conv_1": _conv(sd, f"{prefix}.layers.2"),
+        "Conv_1": _conv(sd, f"{prefix}.layers.3"),
     }
 
 

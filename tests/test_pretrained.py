@@ -733,8 +733,8 @@ def _torch_like_encoder_sd(d_backbone, d_feature, n_heads, vit_dim, vit_depth,
                 add(f"{sa}.resampler.bias", dim)
                 add(f"{f}.fn.layers.0.weight", d_mlp, dim, 7, 7)
                 add(f"{f}.fn.layers.0.bias", d_mlp)
-                add(f"{f}.fn.layers.2.weight", dim, d_mlp, 7, 7)
-                add(f"{f}.fn.layers.2.bias", dim)
+                add(f"{f}.fn.layers.3.weight", dim, d_mlp, 7, 7)
+                add(f"{f}.fn.layers.3.bias", dim)
             else:
                 add(f"{f}.fn.net.0.weight", mlp_hidden, dim)
                 add(f"{f}.fn.net.0.bias", mlp_hidden)

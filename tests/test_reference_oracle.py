@@ -40,9 +40,15 @@ def _install_reference():
     # src/dataset/__init__.py imports dataset_re10k.py, which imports
     # torchvision (absent from this environment) at module scope though the
     # view sampler under test never touches it. Stub just enough to import.
+    import importlib.machinery
+
     if "torchvision" not in sys.modules:
         tv = types.ModuleType("torchvision")
+        tv.__spec__ = importlib.machinery.ModuleSpec("torchvision", None)
         tf = types.ModuleType("torchvision.transforms")
+        tf.__spec__ = importlib.machinery.ModuleSpec(
+            "torchvision.transforms", None
+        )
 
         class _ToTensor:
             def __call__(self, *_):
@@ -69,6 +75,95 @@ def _install_reference():
             dc.Config = Config
             dc.from_dict = from_dict
             sys.modules["dacite"] = dc
+
+    def _stub(name: str) -> types.ModuleType:
+        """Register an import-spec'd stub module (transformers probes
+        find_spec on optional deps, so __spec__ must be real)."""
+        m = types.ModuleType(name)
+        m.__spec__ = importlib.machinery.ModuleSpec(name, None)
+        sys.modules[name] = m
+        return m
+
+    # The full-encoder oracle imports src.model.encoder, whose package
+    # __init__ pulls in the visualizer (wandb, colorspacious, plyfile) and
+    # the resnet backbone module (timm). None of those are on the tested
+    # path; stub just enough to import.
+    for absent, attrs in (
+        ("wandb", {"Image": object}),
+        ("colorspacious", {"cspace_convert": None}),
+        ("plyfile", {"PlyData": object, "PlyElement": object}),
+    ):
+        if absent not in sys.modules:
+            try:
+                __import__(absent)
+            except ModuleNotFoundError:
+                m = _stub(absent)
+                for k, v in attrs.items():
+                    setattr(m, k, v)
+    if "timm" not in sys.modules:
+        try:
+            import timm  # noqa: F401
+        except ModuleNotFoundError:
+            tm = _stub("timm")
+            tmm = _stub("timm.models")
+            tmr = _stub("timm.models.resnet")
+
+            class _ResNet:  # annotation-only in backbone_resnet.py
+                pass
+
+            tmr.ResNet = _ResNet
+            tmm.resnet = tmr
+            tm.models = tmm
+    # e3nn backs the reference's Wigner-D SH rotation (sh_utils.py:103-121).
+    # It is absent here, so the stub supports ONLY the identity rotation —
+    # exactly (wigner_D(l, 0, 0, 0) == I) — and raises loudly on any other
+    # input. The full-encoder oracle therefore runs with identity-rotation
+    # cameras; the non-identity rotation path is covered by the SH
+    # equivariance tests in tests/test_sh.py instead.
+    if "e3nn" not in sys.modules:
+        try:
+            import e3nn  # noqa: F401
+        except ModuleNotFoundError:
+            e3 = _stub("e3nn")
+            o3 = _stub("e3nn.o3")
+
+            def matrix_to_angles(rot):
+                eye = torch.eye(3, dtype=rot.dtype).expand_as(rot)
+                if not torch.allclose(rot, eye, atol=1e-6):
+                    raise NotImplementedError(
+                        "e3nn stub: identity rotations only"
+                    )
+                z = torch.zeros(rot.shape[:-2], dtype=rot.dtype)
+                return z, z.clone(), z.clone()
+
+            def wigner_D(l, alpha, beta, gamma):  # noqa: E741
+                if not (
+                    torch.count_nonzero(alpha) == 0
+                    and torch.count_nonzero(beta) == 0
+                    and torch.count_nonzero(gamma) == 0
+                ):
+                    raise NotImplementedError(
+                        "e3nn stub: identity rotations only"
+                    )
+                eye = torch.eye(2 * l + 1)
+                return eye.expand(*alpha.shape, 2 * l + 1, 2 * l + 1)
+
+            o3.matrix_to_angles = matrix_to_angles
+            o3.wigner_D = wigner_D
+            e3.o3 = o3
+    # omegaconf backs src.global_cfg (typed as DictConfig, duck-typed in
+    # practice — the encoder only reads attributes off the stored object).
+    if "omegaconf" not in sys.modules:
+        try:
+            import omegaconf  # noqa: F401
+        except ModuleNotFoundError:
+            om = _stub("omegaconf")
+
+            class DictConfig(dict):
+                pass
+
+            om.DictConfig = DictConfig
+            om.OmegaConf = object
 
 
 _install_reference()
@@ -511,3 +606,277 @@ class TestBoundedViewSamplerOracle:
             f_r = gaps_r.count(g) / n_trials
             f_o = gaps_o.count(g) / n_trials
             assert abs(f_r - f_o) < 5.0 / np.sqrt(n_trials), (step, g, f_r, f_o)
+
+
+class TestFullEncoderOracle:
+    """Composition oracle: the reference's ENTIRE EncoderEpipolar.forward
+    (src/model/encoder/encoder_epipolar.py:128-242) executed in torch at a
+    thin-but-flagship-shaped config, pinned against our flax encoder with
+    weights mapped by convert_latentsplat_encoder. Covers the composed
+    pipeline the per-module oracles cannot: backbone wiring + projection,
+    epipolar transformer (downscale conv, depth PE, cross-attn with
+    ConvFeedForward/ImageSelfAttention, upscale + refinement), monocular
+    depth prediction (deterministic top-k path), the to_gaussians head,
+    sub-pixel offsets, GaussianAdapter, opacity mapping, and the
+    variational packing order.
+
+    Cameras use identity rotations so the e3nn stub's identity Wigner-D is
+    exact (see _install_reference); non-identity SH rotation is covered by
+    tests/test_sh.py equivariance tests. The DINO trunk is a toy-depth
+    vitb8-shaped VisionTransformer injected through torch.hub.load on the
+    reference side (its conversion is itself pinned by
+    tests/test_pretrained.py::test_full_dino_stack_conversion).
+    """
+
+    B, V, HW = 1, 2, 32
+    D_BACKBONE, D_FEATURE = 64, 64
+    N_FEATURE_CHANNELS = 4
+    VIT_DEPTH, VIT_HEADS, VIT_DIM, PATCH = 2, 12, 768, 8
+
+    def _context_torch(self):
+        torch.manual_seed(11)
+        b, v, hw = self.B, self.V, self.HW
+        ext = torch.eye(4).expand(b, v, 4, 4).contiguous()
+        ext[:, 1, 0, 3] = 0.6  # identity rotations: e3nn stub requirement
+        intr = torch.tensor(
+            [[1.0, 0.0, 0.5], [0.0, 1.0, 0.5], [0.0, 0.0, 1.0]]
+        ).expand(b, v, 3, 3).contiguous()
+        return {
+            "image": torch.rand(b, v, 3, hw, hw),
+            "extrinsics": ext,
+            "intrinsics": intr,
+            "near": torch.full((b, v), 0.5),
+            "far": torch.full((b, v), 20.0),
+        }
+
+    def _build_reference(self):
+        import src.global_cfg as global_cfg
+        from src.model.encoder.encoder_epipolar import (
+            EncoderEpipolar as RefEncoder,
+            EncoderEpipolarCfg as RefCfg,
+            OpacityMappingCfg as RefOpacity,
+        )
+        from src.model.encoder.backbone.backbone_dino import BackboneDinoCfg
+        from src.model.encoder.common.gaussian_adapter import (
+            GaussianAdapterCfg as RefAdapterCfg,
+        )
+        from src.model.encoder.epipolar.epipolar_transformer import (
+            EpipolarTransformerCfg as RefEtCfg,
+        )
+        from src.model.encoder.epipolar.image_self_attention import (
+            ImageSelfAttentionCfg as RefSaCfg,
+        )
+
+        # EpipolarSampler reads num_context_views off the process-global cfg
+        # (epipolar_transformer.py:46-49); it only dereferences attributes.
+        class _NS:
+            def __init__(self, **kw):
+                self.__dict__.update(kw)
+
+        global_cfg.set_cfg(
+            _NS(dataset=_NS(view_sampler=_NS(num_context_views=self.V)))
+        )
+
+        import test_pretrained as tp
+
+        mini = tp.TorchMiniDino(
+            patch=self.PATCH, dim=self.VIT_DIM, depth=self.VIT_DEPTH,
+            heads=self.VIT_HEADS, base=28,
+        )
+
+        def get_intermediate_layers(x, n=1):
+            return [mini(x)]
+
+        mini.get_intermediate_layers = get_intermediate_layers
+
+        import torch.hub
+
+        orig_hub_load = torch.hub.load
+        torch.hub.load = lambda repo, model: mini
+        try:
+            torch.manual_seed(3)
+            cfg = RefCfg(
+                name="epipolar",
+                d_backbone=self.D_BACKBONE,
+                d_feature=self.D_FEATURE,
+                num_monocular_samples=16,
+                num_surfaces=1,
+                predict_opacity=False,
+                backbone=BackboneDinoCfg(
+                    name="dino", model="dino_vitb8", upscale_mode="repeat"
+                ),
+                visualizer=None,
+                near_disparity=3.0,
+                gaussian_adapter=RefAdapterCfg(
+                    gaussian_scale_min=0.5,
+                    gaussian_scale_max=15.0,
+                    color_sh_degree=4,
+                    feature_sh_degree=2,
+                ),
+                apply_bounds_shim=False,
+                epipolar_transformer=RefEtCfg(
+                    self_attention=RefSaCfg(
+                        patch_size=4, num_octaves=10, num_layers=2,
+                        num_heads=4, d_token=32, d_dot=32, d_mlp=64,
+                    ),
+                    num_octaves=10,
+                    num_layers=2,
+                    num_heads=4,
+                    num_samples=8,
+                    d_dot=32,
+                    d_mlp=64,
+                    downscale=4,
+                ),
+                opacity_mapping=RefOpacity(initial=0.0, final=0.0, warm_up=1),
+                gaussians_per_pixel=3,
+                use_epipolar_transformer=True,
+                use_transmittance=False,
+            )
+            from fractions import Fraction
+
+            enc = RefEncoder(
+                cfg, d_in=3, n_feature_channels=self.N_FEATURE_CHANNELS,
+                scale_factor=Fraction(1, 1), variational=True,
+            ).eval()
+        finally:
+            torch.hub.load = orig_hub_load
+        return enc
+
+    def _build_ours(self):
+        from fractions import Fraction
+
+        from latentsplat_tpu.model.encoder import (
+            EncoderEpipolar,
+            EncoderEpipolarCfg,
+            OpacityMappingCfg,
+        )
+        from latentsplat_tpu.model.encoder.backbone import BackboneDinoCfg
+        from latentsplat_tpu.model.encoder.epipolar_transformer import (
+            EpipolarTransformerCfg,
+        )
+        from latentsplat_tpu.model.encoder.gaussian_adapter import (
+            GaussianAdapterCfg,
+        )
+        from latentsplat_tpu.model.encoder.image_self_attention import (
+            ImageSelfAttentionCfg,
+        )
+
+        cfg = EncoderEpipolarCfg(
+            name="epipolar",
+            d_backbone=self.D_BACKBONE,
+            d_feature=self.D_FEATURE,
+            num_monocular_samples=16,
+            num_surfaces=1,
+            predict_opacity=False,
+            backbone=BackboneDinoCfg(
+                name="dino", model="dino_vitb8", upscale_mode="repeat"
+            ),
+            near_disparity=3.0,
+            gaussian_adapter=GaussianAdapterCfg(
+                gaussian_scale_min=0.5,
+                gaussian_scale_max=15.0,
+                color_sh_degree=4,
+                feature_sh_degree=2,
+            ),
+            apply_bounds_shim=False,
+            epipolar_transformer=EpipolarTransformerCfg(
+                self_attention=ImageSelfAttentionCfg(
+                    patch_size=4, num_octaves=10, num_layers=2,
+                    num_heads=4, d_token=32, d_dot=32, d_mlp=64,
+                ),
+                num_octaves=10,
+                num_layers=2,
+                num_heads=4,
+                num_samples=8,
+                d_dot=32,
+                d_mlp=64,
+                downscale=4,
+            ),
+            opacity_mapping=OpacityMappingCfg(
+                initial=0.0, final=0.0, warm_up=1
+            ),
+            gaussians_per_pixel=3,
+            use_epipolar_transformer=True,
+            use_transmittance=False,
+        )
+        return EncoderEpipolar(
+            cfg=cfg, d_in=3, n_feature_channels=self.N_FEATURE_CHANNELS,
+            scale_factor=Fraction(1, 1), variational=True,
+        )
+
+    def test_composed_forward_matches(self):
+        """The toy trunk is vitb8-shaped (patch 8, dim 768, 12 heads) but
+        shallower than the published depth 12; _VIT_SPECS is temporarily
+        pointed at the true toy depth so our BackboneDino builds the same
+        trunk the torch side runs."""
+        import test_pretrained as tp
+
+        from latentsplat_tpu.model.encoder import backbone as backbone_mod
+        from latentsplat_tpu.training.pretrained import (
+            convert_latentsplat_encoder,
+            merge_params,
+        )
+
+        ref_enc = self._build_reference()
+        ctx_t = self._context_torch()
+        with torch.no_grad():
+            want = ref_enc(ctx_t, 0, deterministic=True)
+
+        sd = tp.sd_numpy(ref_enc)
+
+        ours = self._build_ours()
+        ctx_j = {
+            "image": jnp.asarray(
+                ctx_t["image"].numpy().transpose(0, 1, 3, 4, 2)
+            ),
+            "extrinsics": jnp.asarray(ctx_t["extrinsics"].numpy()),
+            "intrinsics": jnp.asarray(ctx_t["intrinsics"].numpy()),
+            "near": jnp.asarray(ctx_t["near"].numpy()),
+            "far": jnp.asarray(ctx_t["far"].numpy()),
+        }
+
+        # The toy trunk is shallower than the published vitb8; point the
+        # spec table at its true depth for this test.
+        orig_spec = backbone_mod._VIT_SPECS["dino_vitb8"]
+        backbone_mod._VIT_SPECS["dino_vitb8"] = (
+            self.PATCH, self.VIT_DIM, self.VIT_DEPTH, self.VIT_HEADS,
+        )
+        try:
+            params = ours.init(
+                {"params": jax.random.PRNGKey(0),
+                 "sample": jax.random.PRNGKey(1)},
+                ctx_j, 0,
+            )["params"]
+            converted = convert_latentsplat_encoder(
+                sd, num_heads=self.VIT_HEADS
+            )
+            params = merge_params(params, converted)
+            got = ours.apply({"params": params}, ctx_j, 0, deterministic=True)
+        finally:
+            backbone_mod._VIT_SPECS["dino_vitb8"] = orig_spec
+
+        np.testing.assert_allclose(
+            np.asarray(got.means), want.means.numpy(), rtol=2e-3, atol=2e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.covariances), want.covariances.numpy(),
+            rtol=2e-3, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.opacities), want.opacities.numpy(),
+            rtol=2e-3, atol=2e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.color_harmonics), want.color_harmonics.numpy(),
+            rtol=2e-3, atol=2e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.feature_harmonics.mean),
+            want.feature_harmonics.mean.numpy(),
+            rtol=2e-3, atol=2e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.feature_harmonics.logvar),
+            want.feature_harmonics.logvar.numpy(),
+            rtol=2e-3, atol=2e-4,
+        )
