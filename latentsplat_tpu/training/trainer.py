@@ -243,10 +243,20 @@ class Trainer:
         (ref: model_wrapper.py:535-560)."""
         model = self.model
         batch = self.data_shim(batch)
-        k_enc, k_gauss, k_latent = jax.random.split(rng, 3)
+        k_enc, k_gauss, k_latent, k_ae = jax.random.split(rng, 4)
+        context_latents = None
+        if model.cfg.encode_latents:
+            # Encoder consumes AE latents instead of pixels (ref:
+            # model_wrapper.py:334-350) — same branch the timed test path
+            # takes via _test_ae_encode.
+            posterior = model.ae_encode(params_gen, batch["context"]["image"])
+            context_latents = (
+                posterior.mode() if deterministic else posterior.sample(k_ae)
+            )
         gaussians = model.apply_encoder(
             params_gen, batch["context"], 0,
             None if deterministic else k_enc,
+            features=context_latents,
             deterministic=deterministic,
         )
         target = batch["target"]

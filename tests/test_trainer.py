@@ -103,10 +103,18 @@ def test_test_renders_and_benchmark(tiny_run):
 
 
 def test_encode_latents_emits_autoencoder_encoder_tag(tmp_path):
-    """encode_latents=true times the context AE encode under the reference's
-    autoencoder_encoder tag (model_wrapper.py:529-534) on the test path."""
+    """encode_latents=true feeds the encoder AE latents on BOTH eval paths:
+    the timed test path (under the reference's autoencoder_encoder tag,
+    model_wrapper.py:529-534) and validate's _render_full. A real KL
+    autoencoder (latent_channels=2 != 3) makes the plumbing load-bearing —
+    dropping `features` would shape-error the encoder's input conv."""
     overrides = TINY_OVERRIDES + [
         "model.encode_latents=true",
+        "model.autoencoder={name: kl, model: kl_f8, "
+        "down_block_types: [DownEncoderBlock2D, DownEncoderBlock2D], "
+        "up_block_types: [UpDecoderBlock2D, UpDecoderBlock2D], "
+        "block_out_channels: [8, 16], layers_per_block: 1, "
+        "latent_channels: 2, skip_connections: false, pretrained: false}",
         "trainer.max_steps=1",
         f"output_dir={tmp_path}",
         f"test.output_path={tmp_path}/test",
@@ -114,6 +122,8 @@ def test_encode_latents_emits_autoencoder_encoder_tag(tmp_path):
     cfg = load_config(None, overrides)
     trainer = Trainer(cfg, tmp_path)
     state = trainer.fit()
+    metrics = trainer.validate(state, step=1)
+    assert np.isfinite(metrics["val/psnr_probabilistic"])
     trainer.test(state, name="lat")
     root = Path(cfg.test.output_path) / "lat"
     bench = json.loads((root / "benchmark.json").read_text())
