@@ -110,11 +110,13 @@ def render(
 
     def render_scene(ext_v, intr_v, near_v, far_v, bg, mns, covs, ops, c_sh, f_sh):
         """One scene: sequential map over its views, gaussians shared."""
-        if precision == "fast":
+        if precision in ("fast", "exact_bf16_sh"):
             # The SH tables (118 MB color + 56 MB features at the flagship
             # scale) are re-read once per view for the view-dependent
             # evaluation; bf16 storage halves that traffic. Cast once per
-            # scene, outside the view loop.
+            # scene, outside the view loop. ("exact_bf16_sh" is the
+            # diagnostic knob isolating this quantization on the exact
+            # path — see tiled.DIAGNOSTIC_PRECISIONS.)
             c_sh = c_sh.astype(jnp.bfloat16) if c_sh is not None else None
             f_sh = f_sh.astype(jnp.bfloat16) if f_sh is not None else None
         n_ch = (3 if has_color else 0) + (

@@ -90,14 +90,28 @@ def _cull_margin(precision: str) -> float:
     return 6e-2 if precision in ("fast", "exact_wide_cull") else 1e-3
 
 
-# Diagnostic hybrid precisions (convergence-anomaly bisect, NOTES.md r4):
-# each takes the EXACT path everywhere except one isolated fast-mode knob,
-# so the knob responsible for a train-quality difference can be identified.
-#   exact_wide_cull — exact + fast's 6e-2 cull margin
-#   exact_tie_depth — exact + fast's depth ORDERING (ranks from the 19-bit
-#                     truncated depth code, ties broken gaussian-major)
-#   exact_bf16_mm   — exact + fast's bf16 compositor scan/channel matmuls
-DIAGNOSTIC_PRECISIONS = ("exact_wide_cull", "exact_tie_depth", "exact_bf16_mm")
+# Diagnostic hybrid precisions (convergence-anomaly bisect + per-knob PSNR
+# attribution, NOTES.md r4): each takes the EXACT path everywhere except one
+# isolated fast-mode knob, so the knob responsible for a train-quality or
+# render-fidelity difference can be identified.
+#   exact_wide_cull    — exact + fast's 6e-2 cull margin
+#   exact_tie_depth    — exact + fast's depth ORDERING (ranks from the 19-bit
+#                        truncated depth code, ties broken gaussian-major)
+#   exact_bf16_mm      — exact + fast's bf16 compositor scan/channel matmuls
+#   exact_q12_channels — exact + fast's 12-bit fixed-point channel VALUES
+#   exact_f16_xy       — exact + fast's f16 tile-relative mean coordinates
+#   exact_bf16_conic   — exact + fast's bf16 conic/opacity values
+#   exact_depth_val    — exact + fast's 19-bit depth VALUE readback (order
+#                        stays exact; isolates the depth-channel error)
+#   exact_bf16_sh      — exact + fast's bf16 SH tables (applied in api.py's
+#                        view_channels; rides the exact path here)
+# The value knobs quantize the sorted attribute rows in place — layout,
+# sort keys, cull, and kernel precision all stay exact.
+DIAGNOSTIC_PRECISIONS = (
+    "exact_wide_cull", "exact_tie_depth", "exact_bf16_mm",
+    "exact_q12_channels", "exact_f16_xy", "exact_bf16_conic",
+    "exact_depth_val", "exact_bf16_sh",
+)
 
 
 def _kernel_fast(precision: str) -> bool:
@@ -520,8 +534,50 @@ def _forward(payload, static, want_residuals: bool):
             sort_keys, carried + pair_rows
         )
         n_car = len(carried)
-        sorted_rows = sorted_all[n_car : n_car + n_attr]
+        sorted_rows = list(sorted_all[n_car : n_car + n_attr])
     pair_perm = sorted_all[0] if want_residuals else None
+
+    # Value-quantization diagnostic knobs: reproduce ONE of fast mode's
+    # value quantizations on the otherwise-exact path (same layout, sort
+    # order, cull, and kernel precision), so each knob's PSNR / training
+    # cost is measurable in isolation. Round-trips use the identical math
+    # the fast payload path applies.
+    if precision == "exact_q12_channels":
+        # 12-bit fixed point with fast's pre-expansion per-gaussian scales.
+        for i in range(6, n_attr - 1):
+            s = jnp.maximum(jnp.max(jnp.abs(rows[i])), 1e-8)
+            q = jnp.clip(
+                jnp.round((sorted_rows[i] / s * 0.5 + 0.5) * 4095.0),
+                0.0, 4095.0,
+            )
+            sorted_rows[i] = (q / 4095.0 * 2.0 - 1.0) * s
+    elif precision == "exact_f16_xy":
+        # f16 round trip of the TILE-RELATIVE coordinates (what fast sorts).
+        tile_s = (
+            sorted_keys[0] if wide_ranks else sorted_keys[0] >> RANK_BITS
+        ).astype(jnp.int32)
+        tx = jnp.clip(tile_s % tiles_x, 0, tiles_x).astype(jnp.float32) * TILE
+        ty = jnp.clip(tile_s // tiles_x, 0, tiles_y).astype(jnp.float32) * TILE
+        sorted_rows[0] = (
+            (sorted_rows[0] - tx).astype(jnp.float16).astype(jnp.float32) + tx
+        )
+        sorted_rows[1] = (
+            (sorted_rows[1] - ty).astype(jnp.float16).astype(jnp.float32) + ty
+        )
+    elif precision == "exact_bf16_conic":
+        for i in range(2, 6):
+            sorted_rows[i] = (
+                sorted_rows[i].astype(jnp.bfloat16).astype(jnp.float32)
+            )
+    elif precision == "exact_depth_val":
+        # fast reads depth back from the key's 19-bit code (midpoint fill).
+        bits = jax.lax.bitcast_convert_type(
+            sorted_rows[n_attr - 1], jnp.int32
+        )
+        code = jax.lax.shift_right_logical(bits, 12) & 0x7FFFF
+        sorted_rows[n_attr - 1] = jax.lax.bitcast_convert_type(
+            (code << 12) | 0x800, jnp.float32
+        )
 
     coef = precision == "fast" and not want_residuals
     n_rows = n_attr + 1 if coef else n_attr

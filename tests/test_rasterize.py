@@ -317,6 +317,88 @@ class TestFastPrecision:
         )
 
 
+class TestDiagnosticPrecisions:
+    """Each hybrid mode = exact + exactly ONE fast knob (tiled.py
+    DIAGNOSTIC_PRECISIONS): used to bisect fast-vs-exact differences in
+    convergence and PSNR. Every knob alone must stay within fast mode's
+    aggregate error envelope of exact."""
+
+    def _scene(self, n=96, key=29):
+        means, covs, ops, channels = make_gaussians(jax.random.PRNGKey(key), n)
+        sg = project(means, covs, ops, channels)
+        bg = jnp.zeros((channels.shape[-1],))
+        return sg, bg
+
+    @pytest.mark.parametrize(
+        "mode",
+        [
+            "exact_wide_cull", "exact_tie_depth", "exact_bf16_mm",
+            "exact_q12_channels", "exact_f16_xy", "exact_bf16_conic",
+            "exact_depth_val",
+        ],
+    )
+    def test_single_knob_within_fast_envelope(self, mode):
+        sg, bg = self._scene()
+        exact = composite_tiled(sg, (H, W), bg, pack_channels=False)
+        hybrid = composite_tiled(sg, (H, W), bg, precision=mode)
+        np.testing.assert_allclose(
+            np.asarray(hybrid[0]), np.asarray(exact[0]), atol=3e-2
+        )
+        np.testing.assert_allclose(
+            np.asarray(hybrid[1]), np.asarray(exact[1]), atol=2e-2
+        )
+
+    def test_wide_cull_is_exact_on_values(self):
+        """The cull-margin knob only widens which tiles survive; where both
+        agree the compositing math is identical, so outputs match exact to
+        f32 roundoff (the wider margin only ADDS sub-threshold pairs)."""
+        sg, bg = self._scene()
+        exact = composite_tiled(sg, (H, W), bg, pack_channels=False)
+        wide = composite_tiled(
+            sg, (H, W), bg, precision="exact_wide_cull", pack_channels=False
+        )
+        np.testing.assert_allclose(
+            np.asarray(wide[0]), np.asarray(exact[0]), atol=1e-5
+        )
+
+    def test_depth_val_touches_only_depth(self):
+        """exact_depth_val quantizes the depth VALUE readback only: color
+        and mask stay bit-identical to exact (same order, same alpha)."""
+        sg, bg = self._scene()
+        exact = composite_tiled(sg, (H, W), bg)
+        hybrid = composite_tiled(sg, (H, W), bg, precision="exact_depth_val")
+        np.testing.assert_array_equal(np.asarray(hybrid[0]), np.asarray(exact[0]))
+        np.testing.assert_array_equal(np.asarray(hybrid[1]), np.asarray(exact[1]))
+        # ... and the depth error is bounded by the 19-bit code (2^-11 rel).
+        d_err = np.abs(np.asarray(hybrid[2]) - np.asarray(exact[2]))
+        rel = d_err / np.maximum(np.abs(np.asarray(exact[2])), 1e-6)
+        assert float(np.max(rel)) < 2e-3
+
+    def test_value_knobs_differentiable(self):
+        """The value-quantization knobs sit inside the custom-VJP forward;
+        gradients ride the handwritten backward (straight-through, same as
+        fast) and must stay close to exact."""
+        n = 48
+        means, covs, ops, channels = make_gaussians(jax.random.PRNGKey(31), n)
+
+        def loss(ops_, precision):
+            sg = project(means, covs, ops_, channels)
+            img, mask, _ = composite_tiled(
+                sg, (H, W), jnp.zeros((channels.shape[-1],)),
+                precision=precision,
+            )
+            return jnp.sum(img**2) + jnp.sum(mask)
+
+        g_exact = jax.grad(lambda o: loss(o, "exact"))(ops)
+        scale = float(jnp.abs(g_exact).max()) + 1e-8
+        for mode in ("exact_q12_channels", "exact_f16_xy", "exact_bf16_conic"):
+            g = jax.grad(lambda o: loss(o, mode))(ops)
+            np.testing.assert_allclose(
+                np.asarray(g) / scale, np.asarray(g_exact) / scale, atol=3e-2,
+                err_msg=f"gradient mismatch for {mode}",
+            )
+
+
 class TestInferencePath:
     def test_primal_matches_vjp_forward(self):
         """The inference path (no carried pair index, no residuals) must
