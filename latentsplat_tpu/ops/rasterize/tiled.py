@@ -82,6 +82,17 @@ SINGLE_CALL_ROWS = 1_300_000
 RANK_BITS = 19  # G < 2^19 gaussians; composite key = tile << RANK_BITS | rank
 
 
+def _depth_code_bits(num_tiles: int) -> tuple[int, int]:
+    """Fast-mode depth-code width: every bit the tile field leaves free in
+    the int31 sort key. The tile field must hold num_tiles + 1 (the invalid
+    sentinel), so (code_bits, code_shift) with code_shift the right-shift
+    that extracts the top code_bits of a positive f32's bit pattern.
+    22 bits (13-mantissa-bit depth ties) at the flagship 256-tile shape;
+    19 at 4096 tiles."""
+    code_bits = 31 - (num_tiles + 2).bit_length()
+    return code_bits, 31 - code_bits
+
+
 def _cull_margin(precision: str) -> float:
     """Log-space margin of the exact ellipse-tile cull (see _tile_rects):
     covers fp discrepancy vs the kernel's per-pixel alpha evaluation —
@@ -371,26 +382,29 @@ def _forward(payload, static, want_residuals: bool):
         base_e + (col_f + row_f * tiles_x).astype(jnp.int32), 0, num_tiles
     )
     valid = pair_iota < total
-    # Fast mode packs (tile << 19 | depth code) into ONE key with no
-    # gaussian-count ceiling and no depth-rank sorts: the top 19 bits of a
-    # positive f32's bit pattern (after >> 12) are a monotone depth code —
-    # every positive float incl. +inf fits (0x7F800000 >> 12 < 2^19) —
-    # with 10 mantissa bits (~0.1% relative ties, stable gaussian-major
-    # tiebreak). Exact mode packs (tile << RANK_BITS | rank) while
-    # G < 2^19, else a stable two-key (tile, rank) lexicographic sort.
+    # Fast mode packs (tile << code_bits | depth code) into ONE key with no
+    # gaussian-count ceiling and no depth-rank sorts: the top code_bits of
+    # a positive f32's bit pattern are a monotone depth code. The code takes
+    # every bit the tile field leaves free in the int31 key — 22 bits (13
+    # mantissa bits, ~0.01% relative ties) at the flagship 256-tile shape,
+    # 19 bits at 4096 tiles — with stable gaussian-major tiebreak. Exact
+    # mode packs (tile << RANK_BITS | rank) while G < 2^19, else a stable
+    # two-key (tile, rank) lexicographic sort.
+    code_bits, code_shift = _depth_code_bits(num_tiles)
     wide_ranks = precision != "fast" and g >= (1 << RANK_BITS)
     if precision == "fast":
         depth_e = expanded[n_exp - 1]  # f32, positive for live gaussians
         depth_code = (
             jax.lax.shift_right_logical(
-                jax.lax.bitcast_convert_type(depth_e, jnp.int32), 12
+                jax.lax.bitcast_convert_type(depth_e, jnp.int32), code_shift
             )
-            & 0x7FFFF  # keep dead gaussians' negative depths in-field
+            # mask keeps dead gaussians' negative depths in-field
+            & ((1 << code_bits) - 1)
         )
         key = jnp.where(
             valid,
-            (tile << RANK_BITS) | depth_code,
-            (num_tiles + 1) << RANK_BITS,
+            (tile << code_bits) | depth_code,
+            (num_tiles + 1) << code_bits,
         )
         sort_keys = (key,)
     elif wide_ranks:
@@ -446,7 +460,7 @@ def _forward(payload, static, want_residuals: bool):
             sort_keys, carried + half_rows
         )
         n_car = len(carried)
-        tile_s = (sorted_keys[0] >> RANK_BITS).astype(jnp.int32)
+        tile_s = (sorted_keys[0] >> code_bits).astype(jnp.int32)
         x_rel_s, y_rel_s = _unpack_f16_pair(sorted_all[n_car])
         ca_s, cb_s = _unpack_bf16_pair(sorted_all[n_car + 1])
         cc_s, op_s = _unpack_bf16_pair(sorted_all[n_car + 2])
@@ -496,10 +510,12 @@ def _forward(payload, static, want_residuals: bool):
             s1, s2 = ch_scales[2 * i], ch_scales[2 * i + 1]
             sorted_rows.append((q1 / 4095.0 * 2.0 - 1.0) * s1)
             sorted_rows.append((q2 / 4095.0 * 2.0 - 1.0) * s2)
-        # Depth reads back out of the key's 19-bit code (midpoint fill of
-        # the truncated mantissa: <=2^-11 relative error).
+        # Depth reads back out of the key's depth code (midpoint fill of
+        # the truncated mantissa: <=2^-(code_bits-8) relative error).
         depth_sorted = jax.lax.bitcast_convert_type(
-            ((sorted_keys[0] & 0x7FFFF) << 12) | 0x800, jnp.float32
+            ((sorted_keys[0] & ((1 << code_bits) - 1)) << code_shift)
+            | (1 << (code_shift - 1)),
+            jnp.float32,
         )
         sorted_rows = sorted_rows[: n_attr - 1] + [depth_sorted]
         if not want_residuals:
@@ -570,13 +586,16 @@ def _forward(payload, static, want_residuals: bool):
                 sorted_rows[i].astype(jnp.bfloat16).astype(jnp.float32)
             )
     elif precision == "exact_depth_val":
-        # fast reads depth back from the key's 19-bit code (midpoint fill).
+        # fast reads depth back from the key's depth code (midpoint fill),
+        # at the same width fast uses for this tile count.
         bits = jax.lax.bitcast_convert_type(
             sorted_rows[n_attr - 1], jnp.int32
         )
-        code = jax.lax.shift_right_logical(bits, 12) & 0x7FFFF
+        code = jax.lax.shift_right_logical(bits, code_shift) & (
+            (1 << code_bits) - 1
+        )
         sorted_rows[n_attr - 1] = jax.lax.bitcast_convert_type(
-            (code << 12) | 0x800, jnp.float32
+            (code << code_shift) | (1 << (code_shift - 1)), jnp.float32
         )
 
     coef = precision == "fast" and not want_residuals
@@ -585,7 +604,9 @@ def _forward(payload, static, want_residuals: bool):
     attrs_pairs = attrs_pairs.at[:n_rows].set(jnp.stack(sorted_rows))
 
     boundaries = jnp.arange(num_tiles + 1, dtype=jnp.int32)
-    if not wide_ranks:
+    if precision == "fast":
+        boundaries = boundaries << code_bits
+    elif not wide_ranks:
         boundaries = boundaries << RANK_BITS
     tile_starts = jnp.searchsorted(
         sorted_keys[0], boundaries, side="left"
@@ -836,10 +857,17 @@ def composite_tiled(
     g = sg.num_gaussians
     cap = max_tiles_per_gaussian
     num_tiles = tiles_x * tiles_y
-    if g < (1 << RANK_BITS) or precision == "fast":
-        # Packed single-key mode (fast mode always packs — its 19-bit depth
-        # code has no gaussian-count ceiling; exact mode above the ceiling
-        # switches to a stable two-key (tile, rank) sort automatically).
+    if precision == "fast":
+        # Fast mode always packs a single key; _depth_code_bits sizes the
+        # depth code to whatever the tile field leaves free, so it fits by
+        # construction — but degrades below 16 code bits (the fidelity
+        # floor) past ~32k tiles.
+        assert _depth_code_bits(num_tiles)[0] >= 16, (
+            "too many tiles for a useful fast-mode depth code"
+        )
+    elif g < (1 << RANK_BITS):
+        # Packed single-key exact mode; above the ceiling exact switches to
+        # a stable two-key (tile, rank) sort automatically.
         assert num_tiles << RANK_BITS < (1 << 31), "too many tiles for int32 keys"
     assert g * cap < (1 << 24), "pair offsets exceed exact-f32 range"
     # The budget must tile under both the expansion output block and the
@@ -858,11 +886,13 @@ def composite_tiled(
         depth_key = jnp.where(alive, sg.depth, jnp.inf)
         if precision == "exact_tie_depth":
             # Diagnostic: reproduce fast mode's ordering exactly — rank by
-            # the 19-bit truncated depth code (10 mantissa bits), ties
-            # broken gaussian-major by the stable rank sort.
+            # the truncated depth code at fast's width for THIS tile count
+            # (_depth_code_bits), ties broken gaussian-major by the stable
+            # rank sort.
+            _, code_shift = _depth_code_bits(num_tiles)
             depth_key = jax.lax.bitcast_convert_type(
                 jax.lax.bitcast_convert_type(depth_key, jnp.int32)
-                & ~jnp.int32(0xFFF),
+                & ~jnp.int32((1 << code_shift) - 1),
                 jnp.float32,
             )
         rank = _depth_ranks(depth_key)
