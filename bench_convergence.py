@@ -26,9 +26,11 @@ from pathlib import Path
 import numpy as np
 
 
-def overfit_batch(size: int, v_tgt: int = 4, scene_id: int = 3) -> dict:
-    """One fixed synthetic-scene batch: 2 context views at the arc ends,
-    v_tgt targets spread between them (geometrically consistent renders)."""
+def overfit_batch(size: int, v_tgt: int = 4, batch: int = 1) -> dict:
+    """Fixed synthetic-scene batch(es): 2 context views at the arc ends,
+    v_tgt targets spread between them (geometrically consistent renders).
+    `batch` stacks that many distinct scenes along the batch axis — batch=2
+    is the reference's flagship per-GPU shape (README.md:63-69)."""
     from latentsplat_tpu.dataset.synthetic import DatasetSynthetic, render_blob_scene
     from latentsplat_tpu.dataset.types import DatasetSyntheticCfg
 
@@ -42,34 +44,47 @@ def overfit_batch(size: int, v_tgt: int = 4, scene_id: int = 3) -> dict:
         seed=0,
     )
     ds = DatasetSynthetic(cfg, "test", view_sampler=None)
-    means, colors, radii, extrinsics, intrinsics = ds._scene(scene_id)
 
-    def views(indices):
-        images = np.stack(
-            [
-                render_blob_scene(
-                    means, colors, radii, extrinsics[i], intrinsics[i], (size, size)
-                )
-                for i in indices
-            ]
-        )
-        k = len(indices)
-        return {
-            "extrinsics": extrinsics[indices][None],
-            "intrinsics": intrinsics[indices][None],
-            "image": images[None].astype(np.float32),
-            "near": np.full((1, k), ds.near, np.float32),
-            "far": np.full((1, k), ds.far, np.float32),
-            "index": np.asarray(indices, np.int32)[None],
+    def one_scene(scene_id):
+        means, colors, radii, extrinsics, intrinsics = ds._scene(scene_id)
+
+        def views(indices):
+            images = np.stack(
+                [
+                    render_blob_scene(
+                        means, colors, radii, extrinsics[i], intrinsics[i],
+                        (size, size),
+                    )
+                    for i in indices
+                ]
+            )
+            k = len(indices)
+            return {
+                "extrinsics": extrinsics[indices][None],
+                "intrinsics": intrinsics[indices][None],
+                "image": images[None].astype(np.float32),
+                "near": np.full((1, k), ds.near, np.float32),
+                "far": np.full((1, k), ds.far, np.float32),
+                "index": np.asarray(indices, np.int32)[None],
+            }
+
+        ctx = np.asarray([0, n_frames - 1])
+        tgt = np.arange(1, 1 + v_tgt)
+        return {"context": views(ctx), "target": views(tgt)}
+
+    scenes = [one_scene(3 + i) for i in range(batch)]
+    return {
+        side: {
+            k: np.concatenate([s[side][k] for s in scenes], axis=0)
+            for k in scenes[0][side]
         }
-
-    ctx = np.asarray([0, n_frames - 1])
-    tgt = np.arange(1, 1 + v_tgt)
-    return {"context": views(ctx), "target": views(tgt)}
+        for side in ("context", "target")
+    }
 
 
 def run_mode(
-    size: int, steps: int, precision: str, log_every: int, seed: int = 0
+    size: int, steps: int, precision: str, log_every: int, seed: int = 0,
+    batch: int = 1,
 ) -> dict:
     import jax
     import jax.numpy as jnp
@@ -106,9 +121,9 @@ def run_mode(
     cfg, model = _flagship_model(overrides)
     losses = {n: get_loss_group(n, getattr(cfg.loss, n)) for n in GROUP_NAMES}
 
-    batch = overfit_batch(size)
+    batch = overfit_batch(size, batch=batch)
     params = model.init_params(jax.random.PRNGKey(seed), batch)
-    opt_gen, opt_disc = build_optimizers(model, cfg.optimizer, 1)
+    opt_gen, opt_disc = build_optimizers(model, cfg.optimizer, batch["context"]["image"].shape[0])
     state = TrainState(
         params_gen=params["generator"],
         params_disc=params.get("discriminator"),
@@ -198,6 +213,7 @@ def main() -> None:
     log_every = arg("--log-every", 1, int)
     seed = arg("--seed", 0, int)
     tag = arg("--tag", "", str)
+    batch = arg("--batch", 1, int)
 
     import jax
 
@@ -206,12 +222,15 @@ def main() -> None:
         modes = ["fast", "exact"]
     else:
         modes = precision.split(",")
-    results = [run_mode(size, steps, m, log_every, seed) for m in modes]
+    results = [
+        run_mode(size, steps, m, log_every, seed, batch) for m in modes
+    ]
 
     out = {
         "metric": f"convergence_{size}px",
         "device": f"{dev.platform}:{dev.device_kind}",
         "seed": seed,
+        "batch": batch,
         "measured_unix": int(time.time()),
         "objective": "full VAE-GAN (mse+lpips render, l1+lpips combined, "
         "adaptive-weighted generator, hinge discriminator, kl)",
