@@ -116,12 +116,14 @@ def _cull_margin(precision: str) -> float:
 #                        stays exact; isolates the depth-channel error)
 #   exact_bf16_sh      — exact + fast's bf16 SH tables (applied in api.py's
 #                        view_channels; rides the exact path here)
+#   exact_bf16_grads   — exact + fast's bf16 packing of the BACKWARD's
+#                        per-pair gradient rows through the unsort
 # The value knobs quantize the sorted attribute rows in place — layout,
 # sort keys, cull, and kernel precision all stay exact.
 DIAGNOSTIC_PRECISIONS = (
     "exact_wide_cull", "exact_tie_depth", "exact_bf16_mm",
     "exact_q12_channels", "exact_f16_xy", "exact_bf16_conic",
-    "exact_depth_val", "exact_bf16_sh",
+    "exact_depth_val", "exact_bf16_sh", "exact_bf16_grads",
 )
 
 
@@ -641,7 +643,7 @@ def _pair_composite_bwd(static, residuals, g_tiles):
     # (the sort is byte-bound and moves payload bits opaquely): n_attr f32
     # operands become ceil(n_attr/2), at ~0.4% relative gradient error —
     # the same precision the fast forward already put on the attributes.
-    if precision == "fast":
+    if precision in ("fast", "exact_bf16_grads"):
         packed = [
             _pack_bf16_pair(
                 d_pairs[i],
