@@ -48,13 +48,25 @@ def main() -> None:
 
     fast = "--fast" in sys.argv
     bf16 = "--bf16" in sys.argv
+    # Per-site mixed precision, e.g. --compute encoder:bfloat16,vae:bfloat16
+    # (see training/step._mixed_site). Overrides --bf16 when given.
+    compute = None
+    if "--compute" in sys.argv:
+        compute = sys.argv[sys.argv.index("--compute") + 1]
     remat_policy = "nothing"
     if "--remat-policy" in sys.argv:
         remat_policy = sys.argv[sys.argv.index("--remat-policy") + 1]
+    # Keep per-view rasterizer residuals live instead of recomputing the
+    # render in the backward (HBM permitting).
+    no_dec_remat = "--no-decoder-remat" in sys.argv
     overrides = [
         f"dataset.image_shape=[{size},{size}]",
         f"model.remat_policy={remat_policy}",
-        *(["model.compute_dtype=bfloat16"] if bf16 else []),
+        *(
+            [f"model.compute_dtype={compute}"]
+            if compute
+            else (["model.compute_dtype=bfloat16"] if bf16 else [])
+        ),
         # Half-precision rasterizer sort payload + bf16 compositor matmuls
         # (gradients flow through the same quantized attributes).
         *(["model.decoder.precision=fast"] if fast else []),
@@ -62,7 +74,7 @@ def main() -> None:
         f"model.remat={'true' if full else 'false'}",
         # Per-view rasterizer residuals (~160 MB/view) are the next-largest
         # block; recompute them in the backward at full scale.
-        f"model.decoder.remat={'true' if full else 'false'}",
+        f"model.decoder.remat={'true' if full and not no_dec_remat else 'false'}",
         # Activate the full objective from step 0 (the reference's late-
         # schedule losses are the expensive ones).
         "loss.target_render_image.nll=[{name: mse, weight: 10}, {name: lpips, weight: 0.5}]",
@@ -123,12 +135,17 @@ def main() -> None:
     print(f"step times: {['%.2f' % t for t in times]}", file=sys.stderr)
     variant = (
         ("_fast" if fast else "")
-        + ("_bf16" if bf16 else "")
+        + (
+            "_" + compute.replace(":", "-").replace(",", "+")
+            if compute
+            else ("_bf16" if bf16 else "")
+        )
         + (
             "_" + remat_policy.replace(":", "-").replace(",", "+")
             if remat_policy != "nothing"
             else ""
         )
+        + ("_keepres" if no_dec_remat else "")
     )
     result = {
         "metric": f"train_step_{size}px_batch{batch}_vae_gan" + variant,
