@@ -84,7 +84,7 @@ def overfit_batch(size: int, v_tgt: int = 4, batch: int = 1) -> dict:
 
 def run_mode(
     size: int, steps: int, precision: str, log_every: int, seed: int = 0,
-    batch: int = 1,
+    batch: int = 1, objective: str = "full",
 ) -> dict:
     import jax
     import jax.numpy as jnp
@@ -110,8 +110,17 @@ def run_mode(
         # all at once, like bench_train.py).
         "loss.target_render_image.nll=[{name: mse, weight: 10}, {name: lpips, weight: 0.5}]",
         "loss.target_combined.nll=[{name: l1}, {name: lpips}]",
-        "loss.target_combined.generator={name: generator, weight: 0.5}",
-        "loss.target_combined.discriminator={name: discriminator, loss: hinge}",
+        # objective="nogan" drops the adversarial pair to isolate GAN
+        # dynamics from rasterizer-gradient quality when comparing
+        # precision modes (the exact-vs-fast anomaly diagnosis).
+        *(
+            [
+                "loss.target_combined.generator={name: generator, weight: 0.5}",
+                "loss.target_combined.discriminator={name: discriminator, loss: hinge}",
+            ]
+            if objective == "full"
+            else []
+        ),
         "loss.gaussian.nll=[{name: kl, weight: 0.0001}]",
         # The reference's 2000-step warmup from a 5e-4 start factor would
         # keep the LR negligible for a short run; compress it.
@@ -133,7 +142,8 @@ def run_mode(
         step=jnp.zeros((), jnp.int32),
     )
     flags = make_step_flags(losses, 0)
-    assert flags.disc and flags.gen_gan, "GAN branches must be active"
+    if objective == "full":
+        assert flags.disc and flags.gen_gan, "GAN branches must be active"
     step_fn = jax.jit(
         make_train_step(model, losses, opt_gen, opt_disc), static_argnums=(3,)
     )
@@ -169,11 +179,14 @@ def run_mode(
                     round(float(logs[k]), 5) if k in logs else None
                 )
             if i % (log_every * 25) == 0 or i == steps - 1:
+                fmt = lambda k, p: (  # noqa: E731 — absent groups log None
+                    "n/a" if curve[k][-1] is None else f"{curve[k][-1]:.{p}f}"
+                )
                 print(
-                    f"[{precision}] step {i}: gen {curve['generator/total'][-1]:.4f} "
-                    f"disc {curve['discriminator/total'][-1]:.4f} "
-                    f"render_psnr {curve['train/target_render/psnr'][-1]:.2f} "
-                    f"combined_psnr {curve['train/target_combined/psnr'][-1]:.2f}",
+                    f"[{precision}] step {i}: gen {fmt('generator/total', 4)} "
+                    f"disc {fmt('discriminator/total', 4)} "
+                    f"render_psnr {fmt('train/target_render/psnr', 2)} "
+                    f"combined_psnr {fmt('train/target_combined/psnr', 2)}",
                     file=sys.stderr,
                 )
     wall = time.perf_counter() - t0
@@ -214,6 +227,7 @@ def main() -> None:
     seed = arg("--seed", 0, int)
     tag = arg("--tag", "", str)
     batch = arg("--batch", 1, int)
+    objective = arg("--objective", "full", str)
 
     import jax
 
@@ -223,7 +237,8 @@ def main() -> None:
     else:
         modes = precision.split(",")
     results = [
-        run_mode(size, steps, m, log_every, seed, batch) for m in modes
+        run_mode(size, steps, m, log_every, seed, batch, objective)
+        for m in modes
     ]
 
     out = {
@@ -231,6 +246,7 @@ def main() -> None:
         "device": f"{dev.platform}:{dev.device_kind}",
         "seed": seed,
         "batch": batch,
+        "objective_name": objective,
         "measured_unix": int(time.time()),
         "objective": "full VAE-GAN (mse+lpips render, l1+lpips combined, "
         "adaptive-weighted generator, hinge discriminator, kl)",
