@@ -154,7 +154,16 @@ def run_mode(
         "train/target_render/psnr",
         "train/target_combined/psnr",
         "target_render_image/mse",
+        "target_render_image/lpips",
+        "target_combined/l1",
+        "target_combined/lpips",
+        "gaussian/kl",
         "target_combined/adaptive_weight",
+        # Divergence localization (absent keys log None).
+        "grad_norm/generator",
+        "grad_norm/encoder",
+        "grad_norm/autoencoder",
+        "rasterizer/pairs_dropped",
     )
     curve: dict[str, list] = {k: [] for k in tracked}
     curve["step"] = []

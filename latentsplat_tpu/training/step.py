@@ -32,7 +32,7 @@ import optax
 from flax import struct
 
 from ..evaluation.metrics import compute_psnr
-from ..loss.losses import LossGroup, adaptive_gan_weight
+from ..loss.losses import LossGroup, adaptive_gan_weight, instance_noise_std
 from ..model.latentsplat import LatentSplat
 from ..model.types import GroundTruth, Prediction
 
@@ -289,7 +289,7 @@ def generator_forward(
     Mirrors the branch structure of model_wrapper.py:330-434.
     """
     cfg = model.cfg
-    k_ctx, k_tgt, k_enc, k_gauss, k_latent = jax.random.split(rng, 5)
+    k_ctx, k_tgt, k_enc, k_gauss, k_latent, k_dnoise = jax.random.split(rng, 6)
 
     # bf16 compute for the heavy submodules (no-ops at float32). The
     # rasterizer, posterior sampling, and loss reductions stay f32.
@@ -456,8 +456,18 @@ def generator_forward(
             preds[target_group] = preds[target_group].replace(image=images)
 
     # Discriminator logits for generator losses (ref: model_wrapper.py:411-419).
-    for name in flags.gen_gan:
-        logits_fake = discriminate(params_disc, preds[name].image)
+    for j, name in enumerate(flags.gen_gan):
+        d_in = preds[name].image
+        # Opt-in instance noise (see LossDiscriminatorCfg.input_noise_std):
+        # the discriminator only ever sees noised inputs, so the generator's
+        # GAN gradient flows through the same corruption. std == 0.0 (the
+        # default, matching the reference) compiles the branch away.
+        std = instance_noise_std(losses[name].cfg.discriminator, step)
+        if not (isinstance(std, float) and std == 0.0):
+            d_in = d_in + std * jax.random.normal(
+                jax.random.fold_in(k_dnoise, j), d_in.shape, d_in.dtype
+            )
+        logits_fake = discriminate(params_disc, d_in)
         preds[name] = preds[name].replace(logits_fake=logits_fake)
 
     # Train PSNR per supervision site (ref: model_wrapper.py:399-409; the
@@ -569,6 +579,12 @@ def make_train_step(
 
         logs = dict(aux["logs"])
         logs["generator/total"] = gen_loss
+        # Pre-clip gradient norms, per top-level param group (encoder /
+        # autoencoder / ...): training-health observability, and the
+        # instrument that localizes divergence (NOTES.md round-4 ledger).
+        logs["grad_norm/generator"] = optax.global_norm(grads_gen)
+        for group_name, group in grads_gen.items():
+            logs[f"grad_norm/{group_name}"] = optax.global_norm(group)
 
         finite = jnp.isfinite(gen_loss)
         updates, new_opt_gen = opt_gen.update(
@@ -587,13 +603,28 @@ def make_train_step(
             def disc_loss_fn(p_disc):
                 total = jnp.asarray(0.0)
                 d_logs = {}
-                for name in flags.disc:
+                for j, name in enumerate(flags.disc):
                     fake = jax.lax.stop_gradient(aux["fakes"][name])
-                    logits_fake = discriminate(p_disc, fake)
                     real_img = (
                         batch["context"]["image"] if name == "context"
                         else batch["target"]["image"]
                     )
+                    # Opt-in instance noise, fresh per pass and per side
+                    # (see LossDiscriminatorCfg.input_noise_std); the
+                    # default 0.0 compiles the branch away.
+                    std = instance_noise_std(
+                        losses[name].cfg.discriminator, step
+                    )
+                    if not (isinstance(std, float) and std == 0.0):
+                        kf = jax.random.fold_in(rng_gen, 2 * j)
+                        kr = jax.random.fold_in(rng_gen, 2 * j + 1)
+                        fake = fake + std * jax.random.normal(
+                            kf, fake.shape, fake.dtype
+                        )
+                        real_img = real_img + std * jax.random.normal(
+                            kr, real_img.shape, real_img.dtype
+                        )
+                    logits_fake = discriminate(p_disc, fake)
                     logits_real = discriminate(p_disc, real_img)
                     pred = Prediction(logits_fake=logits_fake, logits_real=logits_real)
                     group_total, group_logs = losses[name].discriminator_total(pred, step)

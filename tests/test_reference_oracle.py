@@ -860,7 +860,10 @@ class TestFullEncoderOracle:
         )
         np.testing.assert_allclose(
             np.asarray(got.covariances), want.covariances.numpy(),
-            rtol=2e-3, atol=1e-6,
+            # atol covers near-cancellation off-diagonals (~1e-4 scale, built
+            # as R S S R^T differences): torch/oneDNN reorders contraction
+            # sums run-to-run, measured up to ~2.5e-6 abs on 6/18k elements.
+            rtol=2e-3, atol=5e-6,
         )
         np.testing.assert_allclose(
             np.asarray(got.opacities), want.opacities.numpy(),

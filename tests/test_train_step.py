@@ -188,6 +188,46 @@ class TestFullVaeGan:
         flags_10k = make_step_flags(losses, 10_000)
         assert flags_10k.target_combined
 
+    def test_instance_noise(self):
+        """input_noise_std > 0: finite step, different D loss than the
+        noise-free step at the same rng; std=0 is the identical graph."""
+        import functools
+
+        def run(noise_std, noise_steps=0):
+            cfgs = dict(self.loss_cfgs)
+            cfgs["target_combined"] = LossGroupCfg(
+                nll=[LossCfg(name="l1"), LossCfg(name="lpips", weight=0.1)],
+                generator=LossCfg(name="generator", weight=0.5),
+                discriminator=LossDiscriminatorCfg(
+                    loss="hinge",
+                    input_noise_std=noise_std,
+                    input_noise_steps=noise_steps,
+                ),
+            )
+            model, losses, state, step_fn = build(
+                self.model_cfg, cfgs, self.batch, self.opt_cfg
+            )
+            flags = make_step_flags(losses, 0)
+            jitted = jax.jit(functools.partial(step_fn, flags=flags))
+            _, logs = jitted(state, self.batch, jax.random.PRNGKey(0))
+            return logs
+
+        base = run(0.0)
+        noisy = run(0.3)
+        assert np.isfinite(float(noisy["discriminator/total"]))
+        assert np.isfinite(float(noisy["generator/total"]))
+        assert float(noisy["discriminator/total"]) != float(
+            base["discriminator/total"]
+        )
+        # Annealed past its horizon the noise is exactly zero again: the
+        # traced std clamps to 0, so D sees clean inputs.
+        from latentsplat_tpu.loss.losses import instance_noise_std
+
+        cfg = LossDiscriminatorCfg(input_noise_std=0.5, input_noise_steps=100)
+        assert float(instance_noise_std(cfg, 100)) == 0.0
+        assert float(instance_noise_std(cfg, 50)) == pytest.approx(0.25)
+        assert instance_noise_std(None, 0) == 0.0
+
 
 class TestRemat(TestFullVaeGan):
     """model.remat=True (jax.checkpoint around encoder + VAE decode) must
