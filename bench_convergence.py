@@ -164,6 +164,11 @@ def run_mode(
         "grad_norm/encoder",
         "grad_norm/autoencoder",
         "rasterizer/pairs_dropped",
+        "diag/max_world_scale",
+        "diag/max_opacity",
+        "diag/max_abs_color_sh",
+        "diag/max_abs_feature_mean",
+        "diag/max_feature_logvar",
     )
     curve: dict[str, list] = {k: [] for k in tracked}
     curve["step"] = []

@@ -326,6 +326,7 @@ def generator_forward(
     latents_to_decode = {}
     context_latents = None
     rasterizer_dropped = None
+    diag_logs: Dict[str, jnp.ndarray] = {}
 
     if flags.context or (
         cfg.encode_latents
@@ -383,6 +384,26 @@ def generator_forward(
             k_enc,
             context_latents if cfg.encode_latents else None,
         )
+        # Divergence-localization diagnostics (exact-mode collapse
+        # investigation, NOTES.md round-4 ledger): cheap max-reductions over
+        # the predicted Gaussians. A feature-logvar drift toward its +20
+        # clamp (where jnp.clip kills the KL's restoring gradient and the
+        # reparameterized sample's sigma reaches e^10) shows here many steps
+        # before the rendered image dies.
+        cov_diag = jnp.diagonal(gaussians.covariances, axis1=-2, axis2=-1)
+        diag_logs = {
+            "diag/max_world_scale": jnp.sqrt(jnp.max(cov_diag)),
+            "diag/max_opacity": jnp.max(gaussians.opacities),
+        }
+        if gaussians.color_harmonics is not None:
+            diag_logs["diag/max_abs_color_sh"] = jnp.max(
+                jnp.abs(gaussians.color_harmonics)
+            )
+        fh = gaussians.feature_harmonics
+        if fh is not None:
+            diag_logs["diag/max_abs_feature_mean"] = jnp.max(jnp.abs(fh.mean))
+            if fh.logvar is not None:
+                diag_logs["diag/max_feature_logvar"] = jnp.max(fh.logvar)
         if flags.gaussian:
             preds["gaussian"] = preds["gaussian"].replace(
                 posterior=gaussians.feature_harmonics
@@ -501,6 +522,7 @@ def generator_forward(
         lpips_fn = _remat(lpips_fn, cfg, site="lpips")
     nll_total = jnp.asarray(0.0)
     logs: Dict[str, jnp.ndarray] = dict(psnr_logs)
+    logs.update(diag_logs)
     if rasterizer_dropped is not None:
         logs["rasterizer/pairs_dropped"] = rasterizer_dropped.astype(jnp.float32)
     group_nll = {}
