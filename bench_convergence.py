@@ -84,7 +84,7 @@ def overfit_batch(size: int, v_tgt: int = 4, batch: int = 1) -> dict:
 
 def run_mode(
     size: int, steps: int, precision: str, log_every: int, seed: int = 0,
-    batch: int = 1, objective: str = "full",
+    batch: int = 1, objective: str = "full", spike_guard: float = 0.0,
 ) -> dict:
     import jax
     import jax.numpy as jnp
@@ -140,12 +140,17 @@ def run_mode(
         opt_gen=opt_gen.init(params["generator"]),
         opt_disc=opt_disc.init(params["discriminator"]) if opt_disc else None,
         step=jnp.zeros((), jnp.int32),
+        gen_loss_ema=jnp.zeros(()) if spike_guard else None,
     )
     flags = make_step_flags(losses, 0)
     if objective == "full":
         assert flags.disc and flags.gen_gan, "GAN branches must be active"
     step_fn = jax.jit(
-        make_train_step(model, losses, opt_gen, opt_disc), static_argnums=(3,)
+        make_train_step(
+            model, losses, opt_gen, opt_disc,
+            skip_loss_spike_factor=spike_guard or None,
+        ),
+        static_argnums=(3,),
     )
 
     tracked = (
@@ -169,6 +174,7 @@ def run_mode(
         "diag/max_abs_color_sh",
         "diag/max_abs_feature_mean",
         "diag/max_feature_logvar",
+        "optimizer/loss_spike_skipped",
     )
     curve: dict[str, list] = {k: [] for k in tracked}
     curve["step"] = []
@@ -242,6 +248,9 @@ def main() -> None:
     tag = arg("--tag", "", str)
     batch = arg("--batch", 1, int)
     objective = arg("--objective", "full", str)
+    # opt-in single-step divergence guard (optimizer.generator.
+    # skip_loss_spike_factor); 0 = off
+    spike_guard = arg("--spike-guard", 0.0, float)
 
     import jax
 
@@ -251,7 +260,7 @@ def main() -> None:
     else:
         modes = precision.split(",")
     results = [
-        run_mode(size, steps, m, log_every, seed, batch, objective)
+        run_mode(size, steps, m, log_every, seed, batch, objective, spike_guard)
         for m in modes
     ]
 

@@ -26,6 +26,7 @@ from bench import H, W, PAIR_BUDGET_FACTOR, make_scene
 
 MODES = (
     "fast",
+    "fast_nocoef",
     "exact_wide_cull",
     "exact_tie_depth",
     "exact_bf16_mm",
@@ -88,9 +89,18 @@ def main() -> None:
         results[mode] = {
             "color_psnr_db": psnr(c, c_ref),
             "feature_psnr_db": psnr(f, f_ref),
+            "color_max_abs_diff": round(float(np.max(np.abs(c - c_ref))), 6),
             "depth_rel_err": round(
                 float(
                     np.median(np.abs(d - d_ref) / np.maximum(np.abs(d_ref), 1e-6))
+                ),
+                6,
+            ),
+            # the median is 0 wherever most pixels are background; the max
+            # is what bounds the depth-code quantization
+            "depth_rel_err_max": round(
+                float(
+                    np.max(np.abs(d - d_ref) / np.maximum(np.abs(d_ref), 1e-6))
                 ),
                 6,
             ),

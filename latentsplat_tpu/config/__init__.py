@@ -74,6 +74,11 @@ class GeneratorOptimizerCfg:
     warm_up_steps: int = 2000
     warm_up_start_factor: float = 5.0e-4
     gradient_clip_val: float = 0.5
+    # Opt-in divergence guard (failure detection, SURVEY §5): skip the
+    # generator update when |generator total| exceeds this factor times its
+    # running EMA (the collapse signature is a single catastrophic step —
+    # NOTES.md round-4 ledger). None = off (reference behavior).
+    skip_loss_spike_factor: Optional[float] = None
 
 
 @dataclass

@@ -110,7 +110,7 @@ def render(
 
     def render_scene(ext_v, intr_v, near_v, far_v, bg, mns, covs, ops, c_sh, f_sh):
         """One scene: sequential map over its views, gaussians shared."""
-        if precision in ("fast", "exact_bf16_sh"):
+        if precision in ("fast", "fast_nocoef", "exact_bf16_sh"):
             # The SH tables (118 MB color + 56 MB features at the flagship
             # scale) are re-read once per view for the view-dependent
             # evaluation; bf16 storage halves that traffic. Cast once per

@@ -97,24 +97,39 @@ def _eye(k: int) -> jnp.ndarray:
 
 
 def _transpose_mxu(m: jnp.ndarray) -> jnp.ndarray:
-    """(a, b) -> (b, a) via an identity matmul on the MXU."""
+    """(a, b) -> (b, a) via an identity matmul on the MXU.
+
+    MUST run at Precision.HIGHEST: Mosaic's DEFAULT f32 dot is a single
+    bf16 pass (measured on v5e — max err 4.9 on coefficient-magnitude
+    inputs, identical to explicitly bf16-cast inputs), which would round
+    every attribute row to bf16 on its way into the compositor. An
+    indicator (0/1) matmul at HIGHEST moves f32 values bitwise-exactly
+    (NOTES.md TPU-facts table)."""
     return jax.lax.dot_general(
         m, _eye(m.shape[0]),
         dimension_numbers=(((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
     )
 
 
 def _mm(a: jnp.ndarray, b: jnp.ndarray, dims, fast: bool) -> jnp.ndarray:
-    """dot_general with f32 accumulation; `fast` feeds the MXU bf16 inputs
-    (native-rate matmuls, ~0.4% rel input quantization) instead of f32
-    multi-pass. Used for the per-chunk scan/channel matmuls, which dominate
-    the compositor's MXU time."""
+    """dot_general with f32 accumulation. `fast` feeds the MXU bf16 inputs
+    (native-rate single pass, ~0.4% rel input quantization); non-fast runs
+    Precision.HIGHEST — on TPU the DEFAULT f32 dot is itself a single bf16
+    pass (measured, see _transpose_mxu), so exact mode must ask for the
+    multi-pass decomposition explicitly. Used for the per-chunk
+    scan/channel matmuls."""
     if fast:
         a = a.astype(jnp.bfloat16)
         b = b.astype(jnp.bfloat16)
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(dims, ((), ())),
+            preferred_element_type=jnp.float32,
+        )
     return jax.lax.dot_general(
         a, b, dimension_numbers=(dims, ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
     )
 
@@ -139,25 +154,31 @@ def _coef_basis() -> jnp.ndarray:
     )
 
 
-def _chunk_alpha_coef(attrs, basis, logop_row, chunk_offset, seg_start,
+def _chunk_alpha_coef(attrs_rows, basis, logop_row, chunk_offset, seg_start,
                       seg_end):
     """Coefficient-layout alpha [CHUNK, PIX]: one MXU matmul per chunk.
 
-    attrs rows 0-5 hold per-pair quadratic coefficients such that
-    coef @ basis == power + log(opacity) (see tiled.py's inference fast
-    path); row `logop_row` holds log(opacity). Replaces ~11 VPU flops per
-    (pair, pixel) of _chunk_alpha's elementwise quadratic with an MXU
-    contraction — the compositor is VPU-bound, so alpha math rides the
-    idle MXU instead. HIGHEST precision: a bf16 1-pass product of
-    coefficients up to ~500 would put ~2.0 absolute error in the exponent.
+    attrs_rows is the ROW-MAJOR (n_attr_pad, CHUNK) VMEM buffer — no full
+    transpose needed: the contraction runs over the buffer's leading dim
+    (lhs.T @ rhs form, native on the MXU). Rows 0-5 hold per-pair quadratic
+    coefficients such that coef @ basis == power + log(opacity) (see
+    tiled.py's inference fast path); row `logop_row` holds log(opacity) and
+    is the only row that must become a column (a 1-row transpose matmul).
+    Replaces ~11 VPU flops per (pair, pixel) of _chunk_alpha's elementwise
+    quadratic with an MXU contraction — the compositor is VPU-bound, so
+    alpha math rides the idle MXU instead. HIGHEST precision: a bf16 1-pass
+    product of coefficients up to ~500 would put ~2.0 absolute error in the
+    exponent.
     """
     power_op = jax.lax.dot_general(
-        attrs[:, 0:8], basis,
-        dimension_numbers=(((1,), (0,)), ((), ())),
+        attrs_rows[0:8, :], basis,
+        dimension_numbers=(((0,), (0,)), ((), ())),
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
-    )                                              # power + log(op)
-    log_op = attrs[:, logop_row : logop_row + 1]   # (CHUNK, 1)
+    )                                              # (CHUNK, PIX) power+log(op)
+    log_op = _transpose_mxu(
+        attrs_rows[logop_row : logop_row + 1, :]
+    )                                              # (CHUNK, 1)
     alpha = jnp.minimum(ALPHA_CLAMP, jnp.exp(power_op))
     alpha = jnp.where(power_op > log_op, 0.0, alpha)
     alpha = jnp.where(alpha < ALPHA_THRESHOLD, 0.0, alpha)
@@ -201,6 +222,17 @@ def _suffix_scan(x, fast: bool):
         parts.append(_mm(upper, x_b, ((1,), (0,)), fast) + tot)
         tot = tot + jnp.sum(x_b, axis=0, keepdims=True)
     return jnp.concatenate(parts[::-1], axis=0), tot
+
+
+def _row_sum(x: jnp.ndarray, fast: bool) -> jnp.ndarray:
+    """Sum (CHUNK, PIX) over PIX into a (1, CHUNK) ROW via an MXU matvec
+    against ones. Produces the row-major orientation the backward's
+    gradient accumulator stores, so the per-chunk gradient block never
+    needs the (CHUNK, n_attr) -> (n_attr, CHUNK) transpose a column-major
+    jnp.sum layout would force (that transpose costs n_attr*CHUNK^2 MACs
+    per chunk — comparable to the scan matmul at HIGHEST precision)."""
+    ones = jnp.ones((1, x.shape[1]), jnp.float32)
+    return _mm(ones, x, ((1,), (1,)), fast)
 
 
 def _chunk_alpha(attrs, px, py, chunk_offset, seg_start, seg_end):
@@ -314,24 +346,27 @@ def _fwd_kernel(
                 ).wait()
 
         pos = (start_chunk + i) * CHUNK  # provably lane-aligned
-        # Select the filled buffer (both transposes issue; the MXU cost is
-        # negligible next to the hidden DMA latency).
-        a0 = _transpose_mxu(attr_buf0[:])
-        a1 = _transpose_mxu(attr_buf1[:])
-        a = jnp.where(parity == 0, a0, a1)  # (CHUNK, n_attr_pad)
+        # Select the filled buffer (cheap VPU op); the forward needs NO
+        # full-buffer transpose: alpha contracts over the buffer's row dim
+        # (lhs.T @ rhs, native MXU form) and the channel accumulation reads
+        # the channel rows in their stored (n_ch, CHUNK) orientation. Only
+        # the non-coef path transposes the 6 geometry rows into columns
+        # (a 6-row HIGHEST matmul, ~CHUNK*36 MACs).
+        buf = jnp.where(parity == 0, attr_buf0[:], attr_buf1[:])
 
         if coef:
-            alpha = _chunk_alpha_coef(a, basis, 6 + n_ch, pos, start, end)
+            alpha = _chunk_alpha_coef(buf, basis, 6 + n_ch, pos, start, end)
         else:
-            alpha, _, _, _, _ = _chunk_alpha(a, px, py, pos, start, end)
+            a6 = _transpose_mxu(buf[0:6, :])        # (CHUNK, 6)
+            alpha, _, _, _, _ = _chunk_alpha(a6, px, py, pos, start, end)
 
         la = jnp.log1p(-alpha)                      # (CHUNK, PIX), <= 0
         excl, la_tot = _excl_scan(la, fast)
         lt = lt_ref[:]                              # (1, PIX)
         weight = alpha * jnp.exp(lt + excl)         # (CHUNK, PIX)
 
-        chans = a[:, 6 : 6 + n_ch]                  # (CHUNK, n_ch)
-        acc = _mm(chans, weight, ((0,), (0,)), fast)  # (n_ch, PIX)
+        chans = buf[6 : 6 + n_ch, :]                # (n_ch, CHUNK)
+        acc = _mm(chans, weight, ((1,), (0,)), fast)  # (n_ch, PIX)
         out_ref[0, 0:n_ch, :] += acc
 
         lt_new = lt + la_tot
@@ -432,7 +467,7 @@ def _bwd_kernel(
                      #   adjacent tiles race-free)
     attr_buf0,       # VMEM scratch: (n_attr_pad, CHUNK) f32 (double buffer 0)
     attr_buf1,       # VMEM scratch: (n_attr_pad, CHUNK) f32 (double buffer 1)
-    grad_tmp,        # VMEM scratch: (CHUNK, n_attr_pad) f32 (pair-major)
+    grad_tmp,        # VMEM scratch: (n_attr_pad, CHUNK) f32 (row-major)
     acc_buf0,        # VMEM scratch: (n_attr_pad, CHUNK) f32 (RMW accumulator 0)
     acc_buf1,        # VMEM scratch: (n_attr_pad, CHUNK) f32 (RMW accumulator 1)
     lt_ref,          # VMEM scratch: (1, PIX) f32 (log T *after* current chunk)
@@ -560,9 +595,11 @@ def _bwd_kernel(
         acc_start(i - 1, 1 - parity, i > 0)
 
         _wait(abufs, asems, attrs, parity, True)
-        a0 = _transpose_mxu(attr_buf0[:])
-        a1 = _transpose_mxu(attr_buf1[:])
-        a = jnp.where(parity == 0, a0, a1)  # (CHUNK, n_attr_pad)
+        # Select first, then transpose ONLY the 6 geometry rows into
+        # columns (see fwd kernel); channels contract straight from their
+        # stored (n_ch, CHUNK) orientation.
+        buf = jnp.where(parity == 0, attr_buf0[:], attr_buf1[:])
+        a = _transpose_mxu(buf[0:6, :])                # (CHUNK, 6)
         alpha, _, dx, dy, exp_power = _chunk_alpha(a, px, py, pos, start, end)
         op = a[:, 5:6]
         ca = a[:, 2:3]
@@ -576,8 +613,7 @@ def _bwd_kernel(
         t_i = jnp.exp(lt_in + excl)                    # (CHUNK, PIX)
         w = alpha * t_i
 
-        chans = a[:, 6 : 6 + n_ch]                     # (CHUNK, n_ch)
-        cg = _mm(chans, g_ch, ((1,), (0,)), fast)
+        cg = _mm(buf[6 : 6 + n_ch, :], g_ch, ((0,), (0,)), fast)
         contrib = w * cg                               # (CHUNK, PIX)
         suffix, contrib_tot = _suffix_scan(contrib, fast)
         s_full = suffix + s_ref[:]
@@ -591,25 +627,25 @@ def _bwd_kernel(
         d_op_px = d_alpha * exp_power * m              # (CHUNK, PIX)
         d_pow = d_alpha * alpha * m
 
-        d_op = jnp.sum(d_op_px, axis=1, keepdims=True)             # (CHUNK, 1)
-        d_ca = jnp.sum(-0.5 * dx * dx * d_pow, axis=1, keepdims=True)
-        d_cb = jnp.sum(-dx * dy * d_pow, axis=1, keepdims=True)
-        d_cc = jnp.sum(-0.5 * dy * dy * d_pow, axis=1, keepdims=True)
-        d_mx = jnp.sum((ca * dx + cb * dy) * d_pow, axis=1, keepdims=True)
-        d_my = jnp.sum((cc * dy + cb * dx) * d_pow, axis=1, keepdims=True)
+        d_op = _row_sum(d_op_px, fast)                 # (1, CHUNK)
+        d_ca = _row_sum(-0.5 * dx * dx * d_pow, fast)
+        d_cb = _row_sum(-dx * dy * d_pow, fast)
+        d_cc = _row_sum(-0.5 * dy * dy * d_pow, fast)
+        d_mx = _row_sum((ca * dx + cb * dy) * d_pow, fast)
+        d_my = _row_sum((cc * dy + cb * dx) * d_pow, fast)
 
-        d_chans = _mm(w, g_ch, ((1,), (1,)), fast)     # (CHUNK, n_ch)
+        d_chans = _mm(g_ch, w, ((1,), (1,)), fast)     # (n_ch, CHUNK)
 
-        grad_tmp[:, 0:1] = d_mx
-        grad_tmp[:, 1:2] = d_my
-        grad_tmp[:, 2:3] = d_ca
-        grad_tmp[:, 3:4] = d_cb
-        grad_tmp[:, 4:5] = d_cc
-        grad_tmp[:, 5:6] = d_op
-        grad_tmp[:, 6 : 6 + n_ch] = d_chans
+        grad_tmp[0:1, :] = d_mx
+        grad_tmp[1:2, :] = d_my
+        grad_tmp[2:3, :] = d_ca
+        grad_tmp[3:4, :] = d_cb
+        grad_tmp[4:5, :] = d_cc
+        grad_tmp[5:6, :] = d_op
+        grad_tmp[6 : 6 + n_ch, :] = d_chans
 
         _wait(cbufs, csems, d_attrs, parity, True)
-        g_acc = _transpose_mxu(grad_tmp[:])
+        g_acc = grad_tmp[:]
         for p in (0, 1):
 
             @pl.when(parity == p)
@@ -660,7 +696,7 @@ def composite_pairs_bwd(
         scratch_shapes=[
             pltpu.VMEM((n_attr, CHUNK), jnp.float32),
             pltpu.VMEM((n_attr, CHUNK), jnp.float32),
-            pltpu.VMEM((CHUNK, n_attr), jnp.float32),
+            pltpu.VMEM((n_attr, CHUNK), jnp.float32),
             pltpu.VMEM((n_attr, CHUNK), jnp.float32),
             pltpu.VMEM((n_attr, CHUNK), jnp.float32),
             pltpu.VMEM((1, PIX), jnp.float32),

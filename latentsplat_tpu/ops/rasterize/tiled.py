@@ -98,7 +98,7 @@ def _cull_margin(precision: str) -> float:
     covers fp discrepancy vs the kernel's per-pixel alpha evaluation —
     wider in fast mode, where the kernel reads bf16-rounded conics
     (~0.8% rel on q)."""
-    return 6e-2 if precision in ("fast", "exact_wide_cull") else 1e-3
+    return 6e-2 if _is_fast(precision) or precision == "exact_wide_cull" else 1e-3
 
 
 # Diagnostic hybrid precisions (convergence-anomaly bisect + per-knob PSNR
@@ -124,12 +124,21 @@ DIAGNOSTIC_PRECISIONS = (
     "exact_wide_cull", "exact_tie_depth", "exact_bf16_mm",
     "exact_q12_channels", "exact_f16_xy", "exact_bf16_conic",
     "exact_depth_val", "exact_bf16_sh", "exact_bf16_grads",
+    "fast_nocoef",
 )
+
+
+def _is_fast(precision: str) -> bool:
+    """fast-family structural layout (half-precision sort payload, depth-bit
+    keys). "fast_nocoef" is the diagnostic twin of "fast" that keeps the
+    training attribute layout in the forward kernel (no coefficient-layout
+    alpha) — isolating the coef path's fidelity/throughput contribution."""
+    return precision in ("fast", "fast_nocoef")
 
 
 def _kernel_fast(precision: str) -> bool:
     """Whether the Pallas compositor runs its matmuls with bf16 inputs."""
-    return precision in ("fast", "exact_bf16_mm")
+    return precision in ("fast", "fast_nocoef", "exact_bf16_mm")
 
 
 def _use_interpret() -> bool:
@@ -284,7 +293,7 @@ def _forward(payload, static, want_residuals: bool):
     # at the flagship scale. Geometry stays f32 through the expansion.
     counts_p = padg(counts)
     starts, _ = start_offsets(counts_p)
-    if precision == "fast":
+    if _is_fast(precision):
         # Depth (the last attribute row) stays f32 through the expansion:
         # post-expansion the top 19 bits of its bit pattern become the
         # depth code of the packed (tile << 19 | code) sort key, replacing
@@ -342,7 +351,7 @@ def _forward(payload, static, want_residuals: bool):
     )
     total = jnp.minimum(counts_p.sum(), pair_budget)
 
-    if precision == "fast":
+    if _is_fast(precision):
         base_nx_e = expanded[n_exp].astype(jnp.int32)
         base_e = base_nx_e // 16
         nx_e = jnp.maximum(base_nx_e % 16, 1)
@@ -393,8 +402,8 @@ def _forward(payload, static, want_residuals: bool):
     # mode packs (tile << RANK_BITS | rank) while G < 2^19, else a stable
     # two-key (tile, rank) lexicographic sort.
     code_bits, code_shift = _depth_code_bits(num_tiles)
-    wide_ranks = precision != "fast" and g >= (1 << RANK_BITS)
-    if precision == "fast":
+    wide_ranks = not _is_fast(precision) and g >= (1 << RANK_BITS)
+    if _is_fast(precision):
         depth_e = expanded[n_exp - 1]  # f32, positive for live gaussians
         depth_code = (
             jax.lax.shift_right_logical(
@@ -424,7 +433,7 @@ def _forward(payload, static, want_residuals: bool):
     # inference path drops the operand (~8% less sort payload).
     carried = [pair_iota] if want_residuals else []
 
-    if precision == "fast":
+    if _is_fast(precision):
         # Fast mode: everything rides the sort two-per-operand. Tile-
         # relative x/y as f16 pairs (10-bit mantissa: <=0.03 px at the
         # <=64 px tile-relative range), conic/opacity as bf16 pairs
@@ -466,7 +475,7 @@ def _forward(payload, static, want_residuals: bool):
         x_rel_s, y_rel_s = _unpack_f16_pair(sorted_all[n_car])
         ca_s, cb_s = _unpack_bf16_pair(sorted_all[n_car + 1])
         cc_s, op_s = _unpack_bf16_pair(sorted_all[n_car + 2])
-        if want_residuals:
+        if want_residuals or precision == "fast_nocoef":
             sorted_rows = [
                 x_rel_s + (tile_s % tiles_x).astype(jnp.float32) * TILE,
                 y_rel_s + (tile_s // tiles_x).astype(jnp.float32) * TILE,
@@ -520,7 +529,7 @@ def _forward(payload, static, want_residuals: bool):
             jnp.float32,
         )
         sorted_rows = sorted_rows[: n_attr - 1] + [depth_sorted]
-        if not want_residuals:
+        if not want_residuals and precision == "fast":
             sorted_rows.append(log_op_s)  # row n_attr: power>0 guard
     elif pack_channels:
         pair_rows = [expanded[i] for i in range(n_attr)]
@@ -571,22 +580,29 @@ def _forward(payload, static, want_residuals: bool):
             sorted_rows[i] = (q / 4095.0 * 2.0 - 1.0) * s
     elif precision == "exact_f16_xy":
         # f16 round trip of the TILE-RELATIVE coordinates (what fast sorts).
+        # optimization_barrier keeps XLA's allow-excess-precision pass from
+        # folding the narrow-then-widen convert pair away (measured: on TPU
+        # a bare f32->f16->f32 round trip compiles to a no-op).
         tile_s = (
             sorted_keys[0] if wide_ranks else sorted_keys[0] >> RANK_BITS
         ).astype(jnp.int32)
         tx = jnp.clip(tile_s % tiles_x, 0, tiles_x).astype(jnp.float32) * TILE
         ty = jnp.clip(tile_s // tiles_x, 0, tiles_y).astype(jnp.float32) * TILE
         sorted_rows[0] = (
-            (sorted_rows[0] - tx).astype(jnp.float16).astype(jnp.float32) + tx
+            jax.lax.optimization_barrier(
+                (sorted_rows[0] - tx).astype(jnp.float16)
+            ).astype(jnp.float32) + tx
         )
         sorted_rows[1] = (
-            (sorted_rows[1] - ty).astype(jnp.float16).astype(jnp.float32) + ty
+            jax.lax.optimization_barrier(
+                (sorted_rows[1] - ty).astype(jnp.float16)
+            ).astype(jnp.float32) + ty
         )
     elif precision == "exact_bf16_conic":
         for i in range(2, 6):
-            sorted_rows[i] = (
-                sorted_rows[i].astype(jnp.bfloat16).astype(jnp.float32)
-            )
+            sorted_rows[i] = jax.lax.optimization_barrier(
+                sorted_rows[i].astype(jnp.bfloat16)
+            ).astype(jnp.float32)
     elif precision == "exact_depth_val":
         # fast reads depth back from the key's depth code (midpoint fill),
         # at the same width fast uses for this tile count.
@@ -606,7 +622,7 @@ def _forward(payload, static, want_residuals: bool):
     attrs_pairs = attrs_pairs.at[:n_rows].set(jnp.stack(sorted_rows))
 
     boundaries = jnp.arange(num_tiles + 1, dtype=jnp.int32)
-    if precision == "fast":
+    if _is_fast(precision):
         boundaries = boundaries << code_bits
     elif not wide_ranks:
         boundaries = boundaries << RANK_BITS
@@ -643,7 +659,7 @@ def _pair_composite_bwd(static, residuals, g_tiles):
     # (the sort is byte-bound and moves payload bits opaquely): n_attr f32
     # operands become ceil(n_attr/2), at ~0.4% relative gradient error —
     # the same precision the fast forward already put on the attributes.
-    if precision in ("fast", "exact_bf16_grads"):
+    if _is_fast(precision) or precision == "exact_bf16_grads":
         packed = [
             _pack_bf16_pair(
                 d_pairs[i],
@@ -859,7 +875,7 @@ def composite_tiled(
     g = sg.num_gaussians
     cap = max_tiles_per_gaussian
     num_tiles = tiles_x * tiles_y
-    if precision == "fast":
+    if _is_fast(precision):
         # Fast mode always packs a single key; _depth_code_bits sizes the
         # depth code to whatever the tile field leaves free, so it fits by
         # construction — but degrades below 16 code bits (the fidelity
@@ -880,7 +896,7 @@ def composite_tiled(
     )
 
     alive = sg.radius > 0.0
-    if precision == "fast":
+    if _is_fast(precision):
         # Fast mode sorts pairs by raw f32 depth bits (CUDA-style), so the
         # two global rank-inversion sorts are skipped entirely.
         rank = jnp.zeros((g,), jnp.int32)

@@ -100,6 +100,10 @@ class TrainState:
     opt_gen: Any
     opt_disc: Optional[Any]
     step: jnp.ndarray  # int32 scalar
+    # EMA of |generator total loss|; only non-None when the opt-in
+    # skip_loss_spike_factor guard is enabled (keeps the pytree structure —
+    # and old checkpoints — unchanged when the feature is off).
+    gen_loss_ema: Optional[jnp.ndarray] = None
 
 
 def build_optimizers(
@@ -557,10 +561,18 @@ def make_train_step(
     losses: Dict[str, LossGroup],
     opt_gen,
     opt_disc,
+    skip_loss_spike_factor: Optional[float] = None,
 ):
     """Returns train_step(state, batch, rng, flags) -> (state, logs).
 
     `flags` must be passed as a static argument when jitting.
+
+    `skip_loss_spike_factor` (cfg.optimizer.generator.skip_loss_spike_factor,
+    opt-in): skip the generator update when |generator total| exceeds the
+    factor times its running EMA — a single-step divergence guard (the
+    observed collapse signature is one catastrophic update; NOTES.md
+    round-4 ledger). Requires TrainState.gen_loss_ema to be initialized
+    (jnp.zeros(()) on fresh state).
     """
 
     def train_step(state: TrainState, batch: dict, rng: jax.Array, flags: StepFlags):
@@ -609,12 +621,39 @@ def make_train_step(
             logs[f"grad_norm/{group_name}"] = optax.global_norm(group)
 
         finite = jnp.isfinite(gen_loss)
+        ok = finite
+        new_ema = state.gen_loss_ema
+        if skip_loss_spike_factor is not None:
+            if state.gen_loss_ema is None:
+                raise ValueError(
+                    "skip_loss_spike_factor requires TrainState.gen_loss_ema "
+                    "(initialize with jnp.zeros(()))"
+                )
+            ema = state.gen_loss_ema
+            mag = jnp.abs(gen_loss)
+            initialized = ema > 0.0
+            spike = jnp.logical_and(
+                initialized, mag > skip_loss_spike_factor * ema
+            )
+            ok = jnp.logical_and(finite, jnp.logical_not(spike))
+            # EMA only absorbs accepted steps; the first accepted step seeds
+            # it (ema==0 means uninitialized, so a 0-loss start is benign).
+            new_ema = jnp.where(
+                ok,
+                jnp.where(
+                    initialized,
+                    0.99 * ema + 0.01 * mag,
+                    jnp.maximum(mag, 1e-8),
+                ),
+                ema,
+            )
+            logs["optimizer/loss_spike_skipped"] = spike.astype(jnp.float32)
         updates, new_opt_gen = opt_gen.update(
             grads_gen, state.opt_gen, state.params_gen
         )
         new_params_gen = optax.apply_updates(state.params_gen, updates)
-        params_gen = _where_finite(finite, new_params_gen, state.params_gen)
-        opt_gen_state = _where_finite(finite, new_opt_gen, state.opt_gen)
+        params_gen = _where_finite(ok, new_params_gen, state.params_gen)
+        opt_gen_state = _where_finite(ok, new_opt_gen, state.opt_gen)
 
         # ---- Discriminator pass (ref: model_wrapper.py:453-493) ----
         params_disc = state.params_disc
@@ -673,6 +712,7 @@ def make_train_step(
             opt_gen=opt_gen_state,
             opt_disc=opt_disc_state,
             step=state.step + 1,
+            gen_loss_ema=new_ema,
         )
         return new_state, logs
 

@@ -163,6 +163,11 @@ class Trainer:
             if self.opt_disc is not None
             else None,
             step=jnp.zeros((), jnp.int32),
+            gen_loss_ema=(
+                jnp.zeros(())
+                if cfg.optimizer.generator.skip_loss_spike_factor is not None
+                else None
+            ),
         )
 
         ckpt = cfg.checkpointing
@@ -193,7 +198,12 @@ class Trainer:
         shimmed = jax.tree_util.tree_map(jnp.asarray, self.data_shim(first))
         state = self.init_state(shimmed)
 
-        raw_step = make_train_step(self.model, self.losses, self.opt_gen, self.opt_disc)
+        raw_step = make_train_step(
+            self.model, self.losses, self.opt_gen, self.opt_disc,
+            skip_loss_spike_factor=(
+                cfg.optimizer.generator.skip_loss_spike_factor
+            ),
+        )
 
         def shimmed_step(state, batch, rng, flags):
             return raw_step(state, self.data_shim(batch), rng, flags)

@@ -317,6 +317,37 @@ class TestFastPrecision:
         )
 
 
+class TestFastNoCoef:
+    def test_fast_nocoef_matches_fast(self):
+        """'fast_nocoef' = fast's exact structural layout but with the
+        training attribute layout in the inference forward (no coefficient-
+        layout alpha): outputs stay within f32-evaluation error of fast, and
+        gradients are bit-identical (the backward shares fast's path)."""
+        n = 96
+        means, covs, ops, channels = make_gaussians(jax.random.PRNGKey(23), n)
+        sg = project(means, covs, ops, channels)
+        bg = jnp.zeros((channels.shape[-1],))
+        fast = composite_tiled(sg, (H, W), bg, precision="fast")
+        nocoef = composite_tiled(sg, (H, W), bg, precision="fast_nocoef")
+        np.testing.assert_allclose(
+            np.asarray(nocoef[0]), np.asarray(fast[0]), atol=5e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(nocoef[1]), np.asarray(fast[1]), atol=5e-3
+        )
+
+        def loss(ops_, precision):
+            sg2 = project(means, covs, ops_, channels)
+            img, mask, _ = composite_tiled(
+                sg2, (H, W), bg, precision=precision
+            )
+            return jnp.sum(img**2) + jnp.sum(mask)
+
+        g_fast = jax.grad(lambda o: loss(o, "fast"))(ops)
+        g_nocoef = jax.grad(lambda o: loss(o, "fast_nocoef"))(ops)
+        np.testing.assert_array_equal(np.asarray(g_fast), np.asarray(g_nocoef))
+
+
 class TestDiagnosticPrecisions:
     """Each hybrid mode = exact + exactly ONE fast knob (tiled.py
     DIAGNOSTIC_PRECISIONS): used to bisect fast-vs-exact differences in

@@ -100,6 +100,62 @@ class TestMinimumSlice:
         assert logs_seq[-1] < logs_seq[0]
         assert int(state.step) == 8
 
+    def test_loss_spike_guard_skips_update(self):
+        """skip_loss_spike_factor: a step whose |generator total| exceeds
+        factor x EMA leaves params and optimizer state untouched (the
+        single-catastrophic-step divergence guard, NOTES.md r4)."""
+        model = LatentSplat(cfg=self.model_cfg, background_color=(0.0, 0.0, 0.0))
+        losses = make_losses(self.loss_cfgs)
+        params = model.init_params(jax.random.PRNGKey(0), self.batch)
+        opt_gen, opt_disc = build_optimizers(
+            model, OptimizerCfg(), effective_batch_size=1
+        )
+        state = TrainState(
+            params_gen=params["generator"],
+            params_disc=None,
+            lpips_params=params["lpips"],
+            opt_gen=opt_gen.init(params["generator"]),
+            opt_disc=None,
+            step=jnp.asarray(0, jnp.int32),
+            gen_loss_ema=jnp.zeros(()),
+        )
+        step_fn = make_train_step(
+            model, losses, opt_gen, opt_disc, skip_loss_spike_factor=3.0
+        )
+        flags = make_step_flags(losses, 0)
+        import functools
+
+        jitted = jax.jit(functools.partial(step_fn, flags=flags))
+        # Normal steps: accepted, EMA tracks the loss.
+        state, logs = jitted(state, self.batch, jax.random.PRNGKey(1))
+        assert float(logs["optimizer/loss_spike_skipped"]) == 0.0
+        ema_after_first = float(state.gen_loss_ema)
+        assert ema_after_first > 0.0
+        state, logs = jitted(state, self.batch, jax.random.PRNGKey(2))
+        assert float(logs["optimizer/loss_spike_skipped"]) == 0.0
+
+        # Spiked batch: blow the target so the loss exceeds 3x the EMA.
+        spiked = jax.tree_util.tree_map(lambda x: x, self.batch)
+        spiked = dict(spiked)
+        spiked["target"] = dict(spiked["target"])
+        spiked["target"]["image"] = spiked["target"]["image"] + 100.0
+        before = state
+        state, logs = jitted(state, spiked, jax.random.PRNGKey(3))
+        assert float(logs["optimizer/loss_spike_skipped"]) == 1.0
+        # Update skipped: params, opt state, and EMA unchanged.
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)
+            ),
+            state.params_gen, before.params_gen,
+        )
+        assert float(state.gen_loss_ema) == float(before.gen_loss_ema)
+        # ... but the step counter still advances.
+        assert int(state.step) == int(before.step) + 1
+        # And training continues normally afterwards.
+        state, logs = jitted(state, self.batch, jax.random.PRNGKey(4))
+        assert float(logs["optimizer/loss_spike_skipped"]) == 0.0
+
     def test_inactive_groups_do_not_render(self):
         model, losses, state, step_fn = build(self.model_cfg, {}, self.batch)
         flags = make_step_flags(losses, 0)
