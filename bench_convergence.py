@@ -85,6 +85,7 @@ def overfit_batch(size: int, v_tgt: int = 4, batch: int = 1) -> dict:
 def run_mode(
     size: int, steps: int, precision: str, log_every: int, seed: int = 0,
     batch: int = 1, objective: str = "full", spike_guard: float = 0.0,
+    sh_l2: float = 0.0,
 ) -> dict:
     import jax
     import jax.numpy as jnp
@@ -121,7 +122,14 @@ def run_mode(
             if objective == "full"
             else []
         ),
-        "loss.gaussian.nll=[{name: kl, weight: 0.0001}]",
+        # --sh-l2 adds the color-SH magnitude regularizer (pins the
+        # compositor's cancellation null space; round-5 collapse fix).
+        (
+            "loss.gaussian.nll=[{name: kl, weight: 0.0001}, "
+            f"{{name: sh_l2, weight: {sh_l2}}}]"
+            if sh_l2
+            else "loss.gaussian.nll=[{name: kl, weight: 0.0001}]"
+        ),
         # The reference's 2000-step warmup from a 5e-4 start factor would
         # keep the LR negligible for a short run; compress it.
         "optimizer.generator.warm_up_steps=50",
@@ -141,6 +149,7 @@ def run_mode(
         opt_disc=opt_disc.init(params["discriminator"]) if opt_disc else None,
         step=jnp.zeros((), jnp.int32),
         gen_loss_ema=jnp.zeros(()) if spike_guard else None,
+        spike_skip_count=jnp.zeros((), jnp.int32) if spike_guard else None,
     )
     flags = make_step_flags(losses, 0)
     if objective == "full":
@@ -175,6 +184,7 @@ def run_mode(
         "diag/max_abs_feature_mean",
         "diag/max_feature_logvar",
         "optimizer/loss_spike_skipped",
+        "optimizer/loss_spike_forced",
     )
     curve: dict[str, list] = {k: [] for k in tracked}
     curve["step"] = []
@@ -248,9 +258,11 @@ def main() -> None:
     tag = arg("--tag", "", str)
     batch = arg("--batch", 1, int)
     objective = arg("--objective", "full", str)
-    # opt-in single-step divergence guard (optimizer.generator.
+    # opt-in transient divergence guard (optimizer.generator.
     # skip_loss_spike_factor); 0 = off
     spike_guard = arg("--spike-guard", 0.0, float)
+    # color-SH L2 regularizer weight; 0 = off (reference objective)
+    sh_l2 = arg("--sh-l2", 0.0, float)
 
     import jax
 
@@ -260,7 +272,10 @@ def main() -> None:
     else:
         modes = precision.split(",")
     results = [
-        run_mode(size, steps, m, log_every, seed, batch, objective, spike_guard)
+        run_mode(
+            size, steps, m, log_every, seed, batch, objective, spike_guard,
+            sh_l2,
+        )
         for m in modes
     ]
 
@@ -270,6 +285,8 @@ def main() -> None:
         "seed": seed,
         "batch": batch,
         "objective_name": objective,
+        "sh_l2_weight": sh_l2,
+        "spike_guard_factor": spike_guard,
         "measured_unix": int(time.time()),
         "objective": "full VAE-GAN (mse+lpips render, l1+lpips combined, "
         "adaptive-weighted generator, hinge discriminator, kl)",

@@ -69,20 +69,47 @@ def main():
     t = _time(fn, p_bb)
     print(f"backbone_fwd_bwd: {t*1e3:.1f} ms", flush=True)
 
-    # --- epipolar transformer alone (on random backbone-scale features) ---
-    from latentsplat_tpu.model.encoder.epipolar_transformer import (
-        EpipolarTransformer,
+    # --- epipolar SAMPLER alone (the gather fwd / scatter-add bwd suspect) ---
+    from latentsplat_tpu.model.encoder.epipolar_sampler import (
+        sample_epipolar_features,
     )
 
     h = w = SIZE // 4
     feats = jax.random.normal(
         jax.random.PRNGKey(1), (BATCH, 2, h, w, ecfg.d_feature), jnp.float32
     )
-    et = EpipolarTransformer(ecfg.epipolar_transformer, ecfg.d_feature)
     ctx = batch["context"]
+
+    def sampler_loss(f):
+        def run(ff):
+            return sample_epipolar_features(
+                ff, ctx["extrinsics"], ctx["intrinsics"], ctx["near"],
+                ctx["far"], ecfg.epipolar_transformer.num_samples,
+            ).features
+        return jnp.sum(jax.checkpoint(run)(f))
+
+    fn = jax.jit(lambda f: jnp.sum(jax.grad(sampler_loss)(f)))
+    t = _time(fn, feats)
+    print(f"epipolar_sampler_fwd_bwd: {t*1e3:.1f} ms", flush=True)
+
+    # --- epipolar transformer alone (on random backbone-scale features) ---
+    from latentsplat_tpu.model.encoder.epipolar_transformer import (
+        EpipolarTransformer,
+    )
+
+    # The real encoder hands the ET backbone-RESOLUTION features (the ET's
+    # own strided conv does the 4x downscale internally,
+    # epipolar_transformer.py:78-84); feeding it SIZE//4 features here would
+    # run the sampler/attention at 1/16 the real ray count.
+    et = EpipolarTransformer(ecfg.epipolar_transformer, ecfg.d_feature)
+    feats_full = jax.random.normal(
+        jax.random.PRNGKey(2), (BATCH, 2, SIZE, SIZE, ecfg.d_feature),
+        jnp.float32,
+    )
     p_et = jax.jit(
         lambda kk: et.init(
-            kk, feats, ctx["extrinsics"], ctx["intrinsics"], ctx["near"], ctx["far"]
+            kk, feats_full, ctx["extrinsics"], ctx["intrinsics"], ctx["near"],
+            ctx["far"],
         )
     )(k)
 
@@ -95,7 +122,7 @@ def main():
         return jnp.sum(jax.checkpoint(run)(f))
 
     fn = jax.jit(lambda p, f: _sum_tree(jax.grad(et_loss, argnums=(0, 1))(p, f)))
-    t = _time(fn, p_et, feats)
+    t = _time(fn, p_et, feats_full)
     print(f"epipolar_transformer_fwd_bwd: {t*1e3:.1f} ms", flush=True)
 
     # --- full encoder (reference point; includes remat like the real step) ---

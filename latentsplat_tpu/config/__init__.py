@@ -74,11 +74,15 @@ class GeneratorOptimizerCfg:
     warm_up_steps: int = 2000
     warm_up_start_factor: float = 5.0e-4
     gradient_clip_val: float = 0.5
-    # Opt-in divergence guard (failure detection, SURVEY §5): skip the
-    # generator update when |generator total| exceeds this factor times its
-    # running EMA (the collapse signature is a single catastrophic step —
-    # NOTES.md round-4 ledger). None = off (reference behavior).
+    # Opt-in divergence guard (failure detection, SURVEY §5): skip BOTH
+    # optimizer updates when |generator total| exceeds this factor times
+    # its running EMA (transient-spike filter — NOTES.md round-4/5
+    # ledgers). None = off (reference behavior).
     skip_loss_spike_factor: Optional[float] = None
+    # After this many CONSECUTIVE skips the guard re-seeds its EMA at the
+    # new loss magnitude and resumes updates (bounded skipping; the guard
+    # can never freeze training permanently).
+    skip_loss_spike_patience: int = 10
 
 
 @dataclass

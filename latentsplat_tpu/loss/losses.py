@@ -37,18 +37,6 @@ class LossCfg:
 class LossDiscriminatorCfg(LossCfg):
     name: str = "discriminator"
     loss: Literal["hinge", "vanilla"] = "hinge"
-    # Instance noise (Sonderby et al. 2016 / Arjovsky & Bottou 2017):
-    # Gaussian noise of this std added to BOTH real and fake discriminator
-    # inputs (fresh samples per pass), optionally annealed linearly to zero
-    # over input_noise_steps. Default 0 = off, matching the reference
-    # exactly (ref: src/loss/loss_discriminator.py has no equivalent).
-    # Motivation (measured, NOTES.md round-4 ledger): with the full
-    # objective active from step 0 on a random-init generator, the exact
-    # rasterizer mode's GAN collapses where fast mode's value-quantization
-    # dither keeps the discriminator regularized; this knob supplies that
-    # regularization explicitly.
-    input_noise_std: float = 0.0
-    input_noise_steps: int = 0
 
 
 @dataclass
@@ -119,24 +107,18 @@ def loss_depth_smoothness(
     return jnp.mean(jnp.abs(depth_dx)) + jnp.mean(jnp.abs(depth_dy))
 
 
+def loss_sh_l2(prediction: Prediction, gt: GroundTruth, lpips_fn) -> jnp.ndarray:
+    """Mean squared color-SH coefficient (gaussian site). Overlapping
+    Gaussians can cancel — the composited image is invariant to opposite-
+    sign coefficient growth, so nothing in the reference objective bounds
+    |SH|; this pins the null space (no reference equivalent; added for the
+    exact-mode collapse, NOTES.md round-5 ledger)."""
+    assert prediction.harmonics is not None
+    return jnp.mean(prediction.harmonics**2)
+
+
 def loss_generator(prediction: Prediction) -> jnp.ndarray:
     return -jnp.mean(prediction.logits_fake)
-
-
-def instance_noise_std(cfg: Optional[LossDiscriminatorCfg], step):
-    """Effective instance-noise std at `step` (0.0 disables; see
-    LossDiscriminatorCfg.input_noise_std). Linear anneal to zero over
-    input_noise_steps when set; constant otherwise."""
-    if cfg is None or cfg.input_noise_std <= 0.0:
-        return 0.0
-    if cfg.input_noise_steps > 0:
-        frac = jnp.clip(
-            1.0 - jnp.asarray(step, jnp.float32) / cfg.input_noise_steps,
-            0.0,
-            1.0,
-        )
-        return cfg.input_noise_std * frac
-    return cfg.input_noise_std
 
 
 def hinge_d_loss(logits: jnp.ndarray) -> jnp.ndarray:
@@ -153,6 +135,7 @@ _NLL_LOSSES: Dict[str, Callable] = {
     "kl": loss_kl,
     "lpips": loss_lpips,
     "depth": loss_depth_smoothness,
+    "sh_l2": loss_sh_l2,
 }
 
 

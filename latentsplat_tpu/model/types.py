@@ -66,6 +66,11 @@ class Prediction:
     depth: Optional[jnp.ndarray] = None          # (b, v, h, w)
     logits_fake: Optional[jnp.ndarray] = None    # (b, v, h', w', 1)
     logits_real: Optional[jnp.ndarray] = None
+    # Predicted color-SH coefficients (gaussian supervision site only):
+    # carried for magnitude regularization — the exact-mode collapse grows
+    # |color SH| exponentially along the compositor's cancellation null
+    # space (NOTES.md round-5 ledger).
+    harmonics: Optional[jnp.ndarray] = None      # (b, g, 3, d_sh)
 
 
 @struct.dataclass

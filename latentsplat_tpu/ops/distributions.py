@@ -40,7 +40,18 @@ class DiagonalGaussian:
     def __post_init__(self):
         if self.logvar is not None:
             lo, hi = self.logvar_interval
-            object.__setattr__(self, "logvar", jnp.clip(self.logvar, lo, hi))
+            # Straight-through clamp: forward values are clipped exactly
+            # like the reference (diagonal_gaussian_distribution.py:23-25,
+            # torch.clamp), but the gradient passes through 1:1 outside the
+            # bounds too. A hard clip zeroes d(logvar)/d(raw) at saturation,
+            # killing the KL's restoring gradient exactly when it is needed
+            # most — the observed collapse mode saturates logvar at +20 and
+            # then KL runs away unopposed (NOTES.md round-4 ledger). Inside
+            # the bounds (every healthy run, always) this is bitwise
+            # identical to jnp.clip in both value and gradient.
+            raw = self.logvar
+            clipped = raw + jax.lax.stop_gradient(jnp.clip(raw, lo, hi) - raw)
+            object.__setattr__(self, "logvar", clipped)
 
     # -- pytree protocol ----------------------------------------------------
     def tree_flatten(self):

@@ -168,6 +168,11 @@ class Trainer:
                 if cfg.optimizer.generator.skip_loss_spike_factor is not None
                 else None
             ),
+            spike_skip_count=(
+                jnp.zeros((), jnp.int32)
+                if cfg.optimizer.generator.skip_loss_spike_factor is not None
+                else None
+            ),
         )
 
         ckpt = cfg.checkpointing
@@ -202,6 +207,9 @@ class Trainer:
             self.model, self.losses, self.opt_gen, self.opt_disc,
             skip_loss_spike_factor=(
                 cfg.optimizer.generator.skip_loss_spike_factor
+            ),
+            skip_loss_spike_patience=(
+                cfg.optimizer.generator.skip_loss_spike_patience
             ),
         )
 

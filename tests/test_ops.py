@@ -56,6 +56,23 @@ class TestDiagonalGaussian:
         d = DiagonalGaussian(jnp.zeros((2,)), jnp.asarray([-100.0, 100.0]))
         np.testing.assert_allclose(np.asarray(d.logvar), [-30.0, 20.0])
 
+    def test_logvar_clamp_keeps_restoring_gradient(self):
+        """Straight-through clamp: the KL gradient wrt a SATURATED raw
+        logvar must stay alive (a hard clip zeroes it, which is how the
+        observed collapse runs away once logvar hits +20)."""
+
+        def kl_of_raw(raw):
+            return jnp.sum(DiagonalGaussian(jnp.zeros((1,)), raw).kl())
+
+        g_sat = float(jax.grad(kl_of_raw)(jnp.asarray([25.0])).squeeze())
+        # d KL / d logvar at the clamp value 20 is 0.5*(e^20 - 1) > 0:
+        # still pushing DOWN on the raw parameter.
+        assert g_sat == pytest.approx(0.5 * (np.exp(20.0) - 1.0), rel=1e-5)
+        # Inside the bounds the clamp is exactly the identity in value and
+        # gradient (parity with the hard clip / the torch reference).
+        g_in = float(jax.grad(kl_of_raw)(jnp.asarray([1.5])).squeeze())
+        assert g_in == pytest.approx(0.5 * (np.exp(1.5) - 1.0), rel=1e-5)
+
 
 class TestDiscreteSampling:
     def test_topk(self):
