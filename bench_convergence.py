@@ -172,6 +172,7 @@ def run_mode(
         "target_combined/l1",
         "target_combined/lpips",
         "gaussian/kl",
+        "gaussian/sh_l2",
         "target_combined/adaptive_weight",
         # Divergence localization (absent keys log None).
         "grad_norm/generator",

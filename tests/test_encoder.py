@@ -89,6 +89,7 @@ def encoder_and_params():
     return enc, params, ctx
 
 
+@pytest.mark.slow
 def test_encoder_shapes(encoder_and_params):
     enc, params, ctx = encoder_and_params
     out = enc.apply(params, ctx, 0, rngs={"sample": jax.random.PRNGKey(3)})
@@ -140,6 +141,7 @@ def test_opacity_mapping_identity_at_zero_exponent():
     np.testing.assert_allclose(np.asarray(out), np.asarray(pdf), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_backbone_vit_shapes():
     """The `vit` backbone (reference backbone_vit.py) produces the same
     output surface as the dino one: (B, H*sf, W*sf, d_out)."""

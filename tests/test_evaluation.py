@@ -189,6 +189,7 @@ def test_ssim_structured_image_parity():
     np.testing.assert_allclose(ours, want, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_dists_self_is_zero():
     rng = np.random.default_rng(0)
     gt = jnp.asarray(rng.uniform(size=(1, 32, 32, 3)).astype(np.float32))

@@ -1,5 +1,6 @@
 """Unit tests for the data-parallel mesh utilities."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -69,6 +70,7 @@ def test_replicate_sharding_is_full_copy():
     assert {s.data.shape for s in x.addressable_shards} == {(4,)}
 
 
+@pytest.mark.slow
 def test_view_parallel_render_matches_single_device():
     """shard_map over the view axis renders identically to the plain path
     (views independent, gaussians replicated)."""

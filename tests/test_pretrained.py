@@ -204,6 +204,7 @@ class TorchTinyVAE(torch.nn.Module):
         return d.conv_out(h)
 
 
+@pytest.mark.slow
 def test_vae_conversion_end_to_end():
     from latentsplat_tpu.model.autoencoder.kl import AutoencoderKL, AutoencoderKLCfg
 
@@ -269,6 +270,7 @@ def make_torch_patchgan(in_ch=3, base=8, n_layers=3):
     return module
 
 
+@pytest.mark.slow
 def test_patch_gan_conversion():
     from latentsplat_tpu.model.discriminator.patch_gan import (
         DiscriminatorPatchGan,
@@ -753,6 +755,7 @@ def _torch_like_encoder_sd(d_backbone, d_feature, n_heads, vit_dim, vit_depth,
     return sd
 
 
+@pytest.mark.slow
 def test_full_encoder_checkpoint_conversion_merges():
     import jax as jax_
 

@@ -120,6 +120,7 @@ class TestDense:
         np.testing.assert_allclose(np.asarray(img[:, 0, 0]), [0.25, 0.75], atol=1e-5)
 
 
+@pytest.mark.slow
 class TestTiledVsDense:
     @pytest.mark.parametrize("n", [1, 7, 64, 300])
     def test_forward_match(self, n):
@@ -176,6 +177,7 @@ class TestTiledVsDense:
             assert g[i] == pytest.approx(fd, rel=0.05, abs=1e-5)
 
 
+@pytest.mark.slow
 class TestRenderAPI:
     def test_render_color_and_features(self):
         n = 50
@@ -261,6 +263,7 @@ class TestRenderAPI:
         )
 
 
+@pytest.mark.slow
 class TestPackedChannels:
     def test_bf16_packed_close_to_exact(self):
         """Default mixed-precision channel packing stays within bf16 error
@@ -276,6 +279,7 @@ class TestPackedChannels:
         np.testing.assert_allclose(np.asarray(packed[0]), np.asarray(exact[0]), atol=2e-2)
 
 
+@pytest.mark.slow
 class TestFastPrecision:
     def test_fast_mode_close_to_exact(self):
         """precision='fast' (f16 tile-relative xy + bf16 conic/opacity/
@@ -317,6 +321,7 @@ class TestFastPrecision:
         )
 
 
+@pytest.mark.slow
 class TestFastNoCoef:
     def test_fast_nocoef_matches_fast(self):
         """'fast_nocoef' = fast's exact structural layout but with the
@@ -405,6 +410,7 @@ class TestDiagnosticPrecisions:
         rel = d_err / np.maximum(np.abs(np.asarray(exact[2])), 1e-6)
         assert float(np.max(rel)) < 2e-3
 
+    @pytest.mark.slow
     def test_value_knobs_differentiable(self):
         """The value-quantization knobs sit inside the custom-VJP forward;
         gradients ride the handwritten backward (straight-through, same as
@@ -430,6 +436,7 @@ class TestDiagnosticPrecisions:
             )
 
 
+@pytest.mark.slow
 class TestInferencePath:
     def test_primal_matches_vjp_forward(self):
         """The inference path (no carried pair index, no residuals) must
@@ -466,6 +473,7 @@ class TestPairOverflowCounter:
             )
         ) == 0
 
+    @pytest.mark.slow
     def test_counts_dropped_pairs(self):
         import math
 
@@ -495,6 +503,7 @@ class TestPairOverflowCounter:
         )
         assert got == want
 
+    @pytest.mark.slow
     def test_render_surfaces_counter(self):
         means, covs, ops, _ = make_gaussians(jax.random.PRNGKey(28), 32)
         out = render(
@@ -532,6 +541,7 @@ class TestWideRankKeys:
         np.testing.assert_allclose(np.asarray(t_mask), np.asarray(d_mask), atol=2e-4)
         np.testing.assert_allclose(np.asarray(t_depth), np.asarray(d_depth), atol=2e-3)
 
+    @pytest.mark.slow
     def test_beyond_packed_ceiling(self):
         """G > 2^19 (the round-1 hard ceiling, VERDICT item 7): sub-pixel
         splats keep the pair count manageable while the rank no longer fits
@@ -553,6 +563,7 @@ class TestWideRankKeys:
         np.testing.assert_allclose(np.asarray(t_mask), np.asarray(d_mask), atol=5e-4)
 
 
+@pytest.mark.slow
 class TestScaleEnvelope:
     """Pin the shape ceilings beyond the flagship 256px/2-view point
     (VERDICT r2 weak #5): 512px output (1024 tiles — exercises the
@@ -652,6 +663,7 @@ class TestNonPdConicGradients:
         )
 
     @pytest.mark.parametrize("precision", ["exact", "fast"])
+    @pytest.mark.slow
     def test_gradients_finite(self, precision):
         sg = self._scene()
         bg = jnp.zeros((2,))
@@ -683,6 +695,7 @@ class TestNonPdConicGradients:
 
 
 class TestPairBudget:
+    @pytest.mark.slow
     def test_small_budget_truncates_gracefully(self):
         """A pair budget below the real pair count must still produce
         finite images/gradients (farther pairs dropped, no crash)."""
@@ -715,6 +728,7 @@ class TestPairBudget:
             )
 
 
+@pytest.mark.slow
 class TestEmptyScenes:
     def test_all_culled(self):
         """Every gaussian behind the camera: empty tiles, zero done counts,
@@ -738,6 +752,7 @@ class TestEmptyScenes:
         np.testing.assert_allclose(np.asarray(g), 0.0, atol=1e-7)
 
 
+@pytest.mark.slow
 class TestRenderRemat:
     def test_remat_identical_values_and_grads(self):
         """render(remat=True) recomputes per-view pair buffers in the

@@ -608,6 +608,7 @@ class TestBoundedViewSamplerOracle:
             assert abs(f_r - f_o) < 5.0 / np.sqrt(n_trials), (step, g, f_r, f_o)
 
 
+@pytest.mark.slow
 class TestFullEncoderOracle:
     """Composition oracle: the reference's ENTIRE EncoderEpipolar.forward
     (src/model/encoder/encoder_epipolar.py:128-242) executed in torch at a

@@ -54,6 +54,7 @@ def test_draw_cameras_projections():
         assert p.max() > 0.1  # something was drawn
 
 
+@pytest.mark.slow
 def test_render_projections_orthographic():
     from latentsplat_tpu.model.types import Gaussians
     from latentsplat_tpu.visualization.validation_in_3d import render_projections

@@ -1,7 +1,15 @@
 """End-to-end train-step tests: the minimum slice (encoder -> variational
-gaussians -> splat -> MSE) and the full VAE-GAN path."""
+gaussians -> splat -> MSE) and the full VAE-GAN path.
+
+Every test here jit-compiles a real train step on CPU (minutes each); the
+whole module is `slow`. Quick-tier coverage of training/step.py lives in
+test_train_step_quick.py (eval_shape wiring checks, no compile)."""
 
 from dataclasses import replace
+
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow
 
 import jax
 import jax.numpy as jnp

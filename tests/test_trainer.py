@@ -1,5 +1,9 @@
 """End-to-end Trainer integration: fit a tiny VAE-GAN on the synthetic
-dataset for a few steps, validate, test-render, checkpoint and resume."""
+dataset for a few steps, validate, test-render, checkpoint and resume.
+
+Everything touching the `tiny_run` fixture (or its own fit) compiles real
+train steps on CPU — all `slow`. The quick tier keeps the compile-free
+construction/loader/shim test at the bottom."""
 
 import json
 from pathlib import Path
@@ -9,6 +13,10 @@ import pytest
 
 from latentsplat_tpu.config import load_config
 from latentsplat_tpu.training.trainer import Trainer
+
+# Every fit/validate/test call below compiles a real step: slow. The quick
+# construction test at the bottom stays unmarked.
+slow = pytest.mark.slow
 
 TINY_OVERRIDES = [
     "dataset={name: synthetic, num_scenes: 6, num_frames: 12, image_shape: [32, 32], "
@@ -62,6 +70,7 @@ def tiny_run(tmp_path_factory):
     return cfg, trainer, state, out
 
 
+@slow
 def test_fit_produces_finite_losses(tiny_run):
     cfg, trainer, state, out = tiny_run
     metrics_file = out / "local" / "metrics.jsonl"
@@ -71,12 +80,14 @@ def test_fit_produces_finite_losses(tiny_run):
     assert totals and all(np.isfinite(t) for t in totals)
 
 
+@slow
 def test_checkpoints_written(tiny_run):
     cfg, trainer, state, out = tiny_run
     ckpts = sorted((out / "checkpoints").glob("step_*"))
     assert ckpts, "periodic + final checkpoints expected"
 
 
+@slow
 def test_validate(tiny_run):
     cfg, trainer, state, out = tiny_run
     metrics = trainer.validate(state, step=3)
@@ -86,6 +97,7 @@ def test_validate(tiny_run):
     assert list((out / "local" / "comparison").glob("*.png"))
 
 
+@slow
 def test_test_renders_and_benchmark(tiny_run):
     cfg, trainer, state, out = tiny_run
     trainer.test(state, name="tiny")
@@ -102,6 +114,7 @@ def test_test_renders_and_benchmark(tiny_run):
     assert {"encoder", "decoder", "autoencoder_decoder"} <= set(bench)
 
 
+@slow
 def test_encode_latents_emits_autoencoder_encoder_tag(tmp_path):
     """encode_latents=true feeds the encoder AE latents on BOTH eval paths:
     the timed test path (under the reference's autoencoder_encoder tag,
@@ -130,6 +143,32 @@ def test_encode_latents_emits_autoencoder_encoder_tag(tmp_path):
     assert {"autoencoder_encoder", "encoder", "decoder", "autoencoder_decoder"} <= set(bench)
 
 
+def test_construction_loader_and_shims(tmp_path):
+    """Quick tier: Trainer construction, the train loader, and the
+    patch/bounds data shims — everything host-side before the first
+    compile. Catches config-plumbing and dataset-pipeline breaks in
+    seconds."""
+    cfg = load_config(
+        None, TINY_OVERRIDES + [f"output_dir={tmp_path}",
+                                f"test.output_path={tmp_path}/test"]
+    )
+    trainer = Trainer(cfg, tmp_path)
+    assert trainer.mesh.devices.size == 2
+    loader = trainer._loader("train", batch_size=2, repeat=False)
+    from latentsplat_tpu.training.trainer import strip_batch
+
+    batch = trainer.data_shim(strip_batch(next(loader)))
+    ctx = batch["context"]
+    assert ctx["image"].shape[:2] == (2, 2)  # (batch, context views)
+    assert ctx["image"].shape[-1] == 3
+    # patch shim keeps dims a multiple of patch_size * downscale
+    m = trainer._patch_multiple
+    assert ctx["image"].shape[-3] % m == 0 and ctx["image"].shape[-2] % m == 0
+    # bounds shim produced finite near/far with near < far
+    assert np.all(np.isfinite(ctx["near"])) and np.all(ctx["near"] < ctx["far"])
+
+
+@slow
 def test_resume_from_checkpoint(tiny_run, tmp_path):
     cfg, trainer, state, out = tiny_run
     ckpt = sorted((out / "checkpoints").glob("step_*"))[-1]
