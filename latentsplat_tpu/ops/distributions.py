@@ -49,9 +49,18 @@ class DiagonalGaussian:
             # then KL runs away unopposed (NOTES.md round-4 ledger). Inside
             # the bounds (every healthy run, always) this is bitwise
             # identical to jnp.clip in both value and gradient.
+            #
+            # INFINITE raw values must take the plain clip: the splatting
+            # decoder's logvar := log1p(-mask) trick yields -inf wherever
+            # accumulated alpha saturates to exactly 1, and the straight-
+            # through form would compute -inf + (+inf) = NaN there (found
+            # as a deterministic mid-training NaN freeze, NOTES.md round-5).
             raw = self.logvar
-            clipped = raw + jax.lax.stop_gradient(jnp.clip(raw, lo, hi) - raw)
-            object.__setattr__(self, "logvar", clipped)
+            clipped = jnp.clip(raw, lo, hi)
+            st = raw + jax.lax.stop_gradient(clipped - raw)
+            object.__setattr__(
+                self, "logvar", jnp.where(jnp.isfinite(raw), st, clipped)
+            )
 
     # -- pytree protocol ----------------------------------------------------
     def tree_flatten(self):

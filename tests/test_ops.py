@@ -72,6 +72,14 @@ class TestDiagonalGaussian:
         # gradient (parity with the hard clip / the torch reference).
         g_in = float(jax.grad(kl_of_raw)(jnp.asarray([1.5])).squeeze())
         assert g_in == pytest.approx(0.5 * (np.exp(1.5) - 1.0), rel=1e-5)
+        # INFINITE raw logvar (the decoder's log1p(-mask) trick emits -inf
+        # at alpha-saturated pixels) must clip to the bound, NOT become NaN
+        # (-inf + inf in a naive straight-through form), and its gradient
+        # must be finite (0: the clip is saturated).
+        d = DiagonalGaussian(jnp.zeros((2,)), jnp.asarray([-np.inf, np.inf]))
+        np.testing.assert_allclose(np.asarray(d.logvar), [-30.0, 20.0])
+        g_inf = np.asarray(jax.grad(kl_of_raw)(jnp.asarray([-np.inf])))
+        assert np.all(np.isfinite(g_inf))
 
 
 class TestDiscreteSampling:
