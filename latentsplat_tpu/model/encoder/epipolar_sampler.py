@@ -24,7 +24,7 @@ from ...misc.heterogeneous_pairings import (
     generate_heterogeneous_index,
     generate_heterogeneous_index_transpose,
 )
-from ...ops.grid_sample import grid_sample_2d
+from ...ops.grid_sample import grid_sample_2d_mxu as grid_sample_2d
 
 
 class EpipolarSampling(NamedTuple):

@@ -13,6 +13,7 @@ bandwidth-bound and fuses well in XLA.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -54,3 +55,56 @@ def grid_sample_2d(image: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
         + gather(x0, y1) * (wx0 * wy1)[..., None]
         + gather(x1, y1) * (wx1 * wy1)[..., None]
     )
+
+
+def grid_sample_2d_mxu(
+    image: jnp.ndarray, coords: jnp.ndarray, block: int = 4096
+) -> jnp.ndarray:
+    """grid_sample_2d semantics via blocked one-hot indicator MATMULS.
+
+    TPU gathers serialize per row and their backward is a scatter-add (the
+    measured epipolar-sampler cost, NOTES.md round-5 ledger: ~66 ms fwd+bwd
+    at the flagship shape for ~zero FLOPs). This variant builds, per block
+    of `block` samples, the (block, H*W) bilinear-weight indicator — the
+    outer product of the 1-D x/y hat weights, since bilinear factors — and
+    contracts it with the flattened image on the MXU. AD of the matmul
+    gives the transposed matmul for d/d image: NO scatter anywhere.
+
+    Matches grid_sample_2d (align_corners=False, zeros padding) to f32
+    rounding; out-of-range corners drop out because their one-hot row is
+    all zero.
+    """
+    h, w, c = image.shape
+    shape = coords.shape[:-1]
+    n = 1
+    for s in shape:
+        n *= int(s)
+    xy = coords.reshape(n, 2)
+    pad = (-n) % block
+    if pad:
+        # Padded coords sample out of range -> zero rows, discarded below.
+        xy = jnp.concatenate(
+            [xy, jnp.full((pad, 2), -10.0, xy.dtype)], axis=0
+        )
+    flat = image.reshape(h * w, c)
+    iota_x = jnp.arange(w, dtype=jnp.float32)[None, :]
+    iota_y = jnp.arange(h, dtype=jnp.float32)[None, :]
+
+    def one_block(xy_b):
+        x = (xy_b[:, 0] + 1.0) * (w / 2.0) - 0.5
+        y = (xy_b[:, 1] + 1.0) * (h / 2.0) - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        wx1 = x - x0
+        wy1 = y - y0
+        rows = (iota_x == x0[:, None]) * (1.0 - wx1)[:, None] + (
+            iota_x == (x0 + 1.0)[:, None]
+        ) * wx1[:, None]                                   # (B, W)
+        cols = (iota_y == y0[:, None]) * (1.0 - wy1)[:, None] + (
+            iota_y == (y0 + 1.0)[:, None]
+        ) * wy1[:, None]                                   # (B, H)
+        ind = (cols[:, :, None] * rows[:, None, :]).reshape(-1, h * w)
+        return jnp.dot(ind, flat)                          # (B, C)
+
+    out = jax.lax.map(one_block, xy.reshape(-1, block, 2))
+    return out.reshape(-1, c)[:n].reshape(*shape, c)

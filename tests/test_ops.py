@@ -158,3 +158,36 @@ class TestGridSample:
         # Center of pixel (0, 0) is at (-0.5, -0.5) in normalized coords.
         out = grid_sample_2d(img, jnp.asarray([[-0.5, -0.5]]))
         np.testing.assert_allclose(np.asarray(out), [[0.0]], atol=1e-6)
+
+    def test_mxu_variant_matches_torch_and_gather(self):
+        """grid_sample_2d_mxu (the epipolar sampler's gather-free path):
+        torch parity in value, gather parity in gradient — including
+        out-of-range coords and a block size that forces padding."""
+        import torch
+        import torch.nn.functional as F
+
+        from latentsplat_tpu.ops.grid_sample import grid_sample_2d_mxu
+
+        rng = np.random.RandomState(4)
+        img = rng.normal(size=(6, 5, 4)).astype(np.float32)
+        coords = rng.uniform(-1.3, 1.3, size=(7, 9, 2)).astype(np.float32)
+
+        ours = np.asarray(
+            grid_sample_2d_mxu(jnp.asarray(img), jnp.asarray(coords), block=16)
+        )
+        theirs = F.grid_sample(
+            torch.from_numpy(img.transpose(2, 0, 1))[None],
+            torch.from_numpy(coords)[None],
+            mode="bilinear", padding_mode="zeros", align_corners=False,
+        )[0].permute(1, 2, 0).numpy()
+        np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+        jimg, jc = jnp.asarray(img), jnp.asarray(coords)
+        g_gather = jax.grad(
+            lambda im: jnp.sum(grid_sample_2d(im, jc) ** 2))(jimg)
+        g_mxu = jax.grad(
+            lambda im: jnp.sum(grid_sample_2d_mxu(im, jc, block=16) ** 2)
+        )(jimg)
+        np.testing.assert_allclose(
+            np.asarray(g_mxu), np.asarray(g_gather), atol=1e-5
+        )
