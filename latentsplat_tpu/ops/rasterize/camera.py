@@ -107,6 +107,18 @@ def project_gaussians_to_screen(
     c00 = jnp.sum(t0 * st0, axis=-1) + COV2D_BLUR
     c01 = jnp.sum(t0 * st1, axis=-1)
     c11 = jnp.sum(t1 * st1, axis=-1) + COV2D_BLUR
+    # PSD margin: clamp the correlation to |rho| <= 0.99 so the CONIC stays
+    # strictly positive-definite even after fast mode's bf16 payload
+    # rounding (relative err 2^-9 per element; 0.99^2 < 1 - 3*2^-9). A PSD
+    # conic makes the splat quadratic `power` <= 0 EVERYWHERE, so the
+    # compositor needs no power>0 wraparound guard (the guard's per-chunk
+    # cost was part of the r04 fast-render regression; NOTES.md round-5).
+    # Only near-degenerate splats (|rho| > 0.99 — beyond an 1:50+ aspect
+    # after the COV2D_BLUR floor) are altered, and every consumer (dense
+    # oracle, tiled exact/fast, training backward) sees the same clamped
+    # conic, preserving oracle bit-parity.
+    c01_max = 0.99 * jnp.sqrt(jnp.maximum(c00 * c11, 0.0))
+    c01 = jnp.clip(c01, -c01_max, c01_max)
 
     det = c00 * c11 - c01 * c01
     det_ok = det > 0.0

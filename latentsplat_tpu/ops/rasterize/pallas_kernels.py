@@ -154,59 +154,32 @@ def _coef_basis() -> jnp.ndarray:
     )
 
 
-def _coef_basis_ext(n_rows_pad: int, logop_row: int) -> jnp.ndarray:
-    """(n_rows_pad, 2*PIX) basis for the fused coef-alpha contraction.
-
-    Column block 0 reproduces _coef_basis (rows 0-5 = the quadratic pixel
-    basis) so `attrs.T @ ext[:, :PIX] == power + log(op)`. Column block 1
-    is the same quadratic basis MINUS the log-opacity row, so
-    `attrs.T @ ext[:, PIX:] == power` — the power>0 cull guard — making
-    the guard a free second column block of the SAME matmul instead of a
-    separate per-chunk 1-row transpose matmul (the r04 re-architecture's
-    extra per-chunk MXU op: measured ~6% of fast-mode end-to-end render
-    throughput across ~1.5k chunk iterations/view; NOTES.md round-5)."""
-    quad = _coef_basis()[0:6]                      # (6, PIX)
-    one = jnp.ones((1, PIX), jnp.float32)
-
-    def rows(parts):
-        return jnp.concatenate(parts, axis=0)
-
-    blk0 = rows([quad, jnp.zeros((n_rows_pad - 6, PIX), jnp.float32)])
-    blk1 = rows([
-        quad,
-        jnp.zeros((logop_row - 6, PIX), jnp.float32),
-        -one,
-        jnp.zeros((n_rows_pad - logop_row - 1, PIX), jnp.float32),
-    ])
-    return jnp.concatenate([blk0, blk1], axis=1)
-
-
-def _chunk_alpha_coef(attrs_rows, basis_ext, chunk_offset, seg_start,
-                      seg_end):
+def _chunk_alpha_coef(attrs_rows, basis, chunk_offset, seg_start, seg_end):
     """Coefficient-layout alpha [CHUNK, PIX]: one MXU matmul per chunk.
 
     attrs_rows is the ROW-MAJOR (n_attr_pad, CHUNK) VMEM buffer — no full
     transpose needed: the contraction runs over the buffer's leading dim
     (lhs.T @ rhs form, native on the MXU). Rows 0-5 hold per-pair quadratic
     coefficients such that coef @ basis == power + log(opacity) (see
-    tiled.py's inference fast path); the log-opacity row enters the same
-    contraction via basis_ext's second column block (see _coef_basis_ext),
-    so the power>0 guard costs no extra kernel op. Replaces ~11 VPU flops
-    per (pair, pixel) of _chunk_alpha's elementwise quadratic with an MXU
+    tiled.py's inference fast path). Replaces ~11 VPU flops per
+    (pair, pixel) of _chunk_alpha's elementwise quadratic with an MXU
     contraction — the compositor is VPU-bound, so alpha math rides the
     idle MXU instead. HIGHEST precision: a bf16 1-pass product of
     coefficients up to ~500 would put ~2.0 absolute error in the exponent.
+
+    No power>0 wraparound guard: the projection clamps the conic to
+    strict positive definiteness with a bf16-safe margin (camera.py), so
+    `power <= 0` everywhere up to f32 evaluation rounding (~1e-3 in the
+    exponent at the center, a <=0.1% alpha wiggle); exp(power_op) is
+    bounded by opacity and the ALPHA_THRESHOLD mask handles the tail.
     """
-    both = jax.lax.dot_general(
-        attrs_rows, basis_ext,
+    power_op = jax.lax.dot_general(
+        attrs_rows[0:8, :], basis,
         dimension_numbers=(((0,), (0,)), ((), ())),
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
-    )                                              # (CHUNK, 2*PIX)
-    power_op = both[:, :PIX]                       # power + log(op)
-    power = both[:, PIX:]                          # power (cull guard)
+    )                                              # (CHUNK, PIX)
     alpha = jnp.minimum(ALPHA_CLAMP, jnp.exp(power_op))
-    alpha = jnp.where(power > 0.0, 0.0, alpha)
     alpha = jnp.where(alpha < ALPHA_THRESHOLD, 0.0, alpha)
 
     idx = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0) + chunk_offset
@@ -332,7 +305,7 @@ def _fwd_kernel(
     n_chunks = (end + CHUNK - 1) // CHUNK - start_chunk
 
     if coef:
-        basis_ext = _coef_basis_ext(attr_buf0.shape[0], 6 + n_ch)
+        basis = _coef_basis()
     else:
         px, py = _pixel_coords(t, tiles_x)
 
@@ -381,7 +354,7 @@ def _fwd_kernel(
         buf = jnp.where(parity == 0, attr_buf0[:], attr_buf1[:])
 
         if coef:
-            alpha = _chunk_alpha_coef(buf, basis_ext, pos, start, end)
+            alpha = _chunk_alpha_coef(buf, basis, pos, start, end)
         else:
             a6 = _transpose_mxu(buf[0:6, :])        # (CHUNK, 6)
             alpha, _, _, _, _ = _chunk_alpha(a6, px, py, pos, start, end)

@@ -487,10 +487,12 @@ def _forward(payload, static, want_residuals: bool):
             # TILE-RELATIVE pixel basis [px^2, px, py^2, py, px*py, 1]
             # (pallas_kernels._coef_basis), so the forward kernel's alpha
             # exponent is one (CHUNK, 8) @ (8, PIX) MXU matmul instead of
-            # ~11 VPU flops per (pair, pixel). log(op) rides as an extra
-            # row after the channels for the power>0 guard. The backward
-            # needs the plain geometry rows, so training keeps the old
-            # layout (this branch builds no residuals).
+            # ~11 VPU flops per (pair, pixel). No log(op) guard row: the
+            # projection's PSD-margin conic clamp (camera.py) makes the
+            # quadratic non-positive everywhere, so the kernel needs no
+            # power>0 wraparound guard. The backward needs the plain
+            # geometry rows, so training keeps the old layout (this
+            # branch builds no residuals).
             log_op_s = jnp.log(jnp.maximum(op_s, 1e-12))
             sorted_rows = [
                 -0.5 * ca_s,
@@ -529,8 +531,6 @@ def _forward(payload, static, want_residuals: bool):
             jnp.float32,
         )
         sorted_rows = sorted_rows[: n_attr - 1] + [depth_sorted]
-        if not want_residuals and precision == "fast":
-            sorted_rows.append(log_op_s)  # row n_attr: power>0 guard
     elif pack_channels:
         pair_rows = [expanded[i] for i in range(n_attr)]
         # Geometry rows (x, y, conic, opacity) ride the sort in f32; channel
@@ -617,7 +617,7 @@ def _forward(payload, static, want_residuals: bool):
         )
 
     coef = precision == "fast" and not want_residuals
-    n_rows = n_attr + 1 if coef else n_attr
+    n_rows = n_attr
     attrs_pairs = jnp.zeros((pad_attr_rows(n_rows), pair_budget), jnp.float32)
     attrs_pairs = attrs_pairs.at[:n_rows].set(jnp.stack(sorted_rows))
 
