@@ -24,7 +24,11 @@ from ...misc.heterogeneous_pairings import (
     generate_heterogeneous_index,
     generate_heterogeneous_index_transpose,
 )
-from ...ops.grid_sample import grid_sample_2d_mxu as grid_sample_2d
+# grid_sample_2d (gather form): measured on-chip, XLA lowers it to the
+# same one-hot-matmul program as the explicit grid_sample_2d_mxu at this
+# shape (bit-identical, same time), while the explicit blocked indicators
+# cost ~222 MB extra HBM in the 256px b2 training graph (OOM at 15.96/15.75G).
+from ...ops.grid_sample import grid_sample_2d
 
 
 class EpipolarSampling(NamedTuple):
